@@ -1,0 +1,73 @@
+"""ADMM SCI iteration map with the two-tensor (z, u) carry.
+
+TPU re-design of ``EquilibriumADMMSCI``
+(solvers/equilibrium_solvers_yaping.py:438-465):
+
+    zbar <- (z+u) + At((y - A(z+u, Phi)) / (Phi_sum + 1e-8), Phi)
+    z+   <- denoise(zbar - u)
+    u+   <- u - (zbar - z+)
+
+returning the carry ``(zbar, u+)`` — note the reference returns the
+*pre-denoise* ``z`` (its local variable after the physics step) paired with
+the updated dual, exactly as lines 453-465 do. The denoiser is a plain net
+for ``conv3d=False`` nets and a 3-D net otherwise; residual ('denoiser')
+tags are also supported for symmetry with the GAP map.
+
+The reference never wires this map to an entry script (it is only importable
++ used by training/sci_equilibrium_training_admm.py); here it is first-class.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+from deqsci_tpu.maps.gap_sci import (ALL_TAGS, DenoiseApply, batch_to_frames,
+                                     frames_to_batch, frames_to_volume,
+                                     volume_to_frames)
+from deqsci_tpu.ops.sensing import A, At
+
+
+@dataclasses.dataclass(frozen=True)
+class AdmmSCI:
+    """ADMM-SCI step over carry pytree ``(z, u)``."""
+
+    denoise: DenoiseApply
+    tag: str
+
+    def __post_init__(self):
+        if self.tag not in ALL_TAGS:
+            raise ValueError(f"unknown nonlinear_op tag: {self.tag!r}")
+
+    def _apply_denoiser(self, params, x):
+        b = x.shape[0]
+        if self.tag == "conv2d":
+            return batch_to_frames(self.denoise(params, frames_to_batch(x)), b)
+        if self.tag == "denoiser":
+            return x - batch_to_frames(
+                self.denoise(params, frames_to_batch(x)), b)
+        if self.tag == "conv3d":
+            return volume_to_frames(self.denoise(params, frames_to_volume(x)))
+        if self.tag == "3d_denoiser":
+            return x - volume_to_frames(
+                self.denoise(params, frames_to_volume(x)))
+        raise ValueError(self.tag)
+
+    def __call__(self, params: Any, carry, k: jnp.ndarray, args):
+        del k
+        z, u = carry
+        y, Phi, Phi_sum = args
+
+        zu = z + u
+        fb = A(zu, Phi)
+        zbar = zu + At((y - fb) / (Phi_sum + 1e-8), Phi)
+
+        z_new = self._apply_denoiser(params, zbar - u)
+        u_new = u - (zbar - z_new)
+        return zbar, u_new
+
+
+def make_admm_sci_step(denoise: DenoiseApply, tag: str) -> AdmmSCI:
+    return AdmmSCI(denoise=denoise, tag=tag)

@@ -1,0 +1,49 @@
+"""Whole-clip SCI reconstruction: one jitted XLA program per clip.
+
+The reference reconstructs a clip with a sequential Python loop over
+snapshots, each solve itself syncing to host every Anderson iteration
+(training/sci_equilibrium_training.py:171-181 and
+solvers/new_equilibrium_utils_yaping.py:184). Here the per-snapshot DEQ
+solve is ``vmap``-ped over the snapshot axis, so a whole clip compiles to a
+single program with no host round-trips. The solvers freeze converged lanes
+(fp/anderson.py), so every snapshot runs exactly the iterate count it would
+have run solo — batched execution is bit-equivalent modulo XLA reduction
+order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from deqsci_tpu.fp.anderson import anderson
+from deqsci_tpu.fp.deq import make_deq
+from deqsci_tpu.ops.sensing import initial_point, phi_sum
+
+
+def make_reconstructor(step: Callable, solver: Callable = anderson,
+                       **solver_kwargs):
+    """Build ``recon(params, meas, Phi) -> frames``.
+
+    ``meas``: (S, H, W) snapshots of one clip; ``Phi``: (H, W, T) shared
+    mask. Returns (S, H, W, T) reconstructed frames. Each snapshot is an
+    independent bsz-1 DEQ solve, exactly as the reference's per-``fi`` loop.
+    """
+    deq = make_deq(step, solver=solver, **solver_kwargs)
+
+    def recon_one(params: Any, y: jnp.ndarray, Phi: jnp.ndarray,
+                  Phi_s: jnp.ndarray) -> jnp.ndarray:
+        yb, Phib, Psb = y[None], Phi[None], Phi_s[None]
+        z0 = initial_point(yb, Phib)
+        return deq(params, z0, (yb, Phib, Psb))[0]
+
+    @partial(jax.jit, static_argnums=())
+    def recon(params: Any, meas: jnp.ndarray, Phi: jnp.ndarray) -> jnp.ndarray:
+        Phi_s = phi_sum(Phi)
+        return jax.vmap(recon_one, in_axes=(None, 0, None, None))(
+            params, meas, Phi, Phi_s)
+
+    return recon
