@@ -1,0 +1,165 @@
+"""Flag-compatible CLI: the rebuild of video_sci_proxgrad.py.
+
+Same 18 flags (video_sci_proxgrad.py:23-49) and the same quirks where they
+are behavioral: ``--inference`` is truthy for ANY non-empty string including
+"False" (line 45/55 — the shell scripts rely on ``--inference True``);
+``--n_epochs``/``--and_maxiters`` accept strings; the step size is the
+hard-coded initial_eta=0.2 regardless of --etainit (line 70). ``--gpu_ids``
+is accepted and ignored (device selection is JAX's).
+
+Examples (mirroring the reference shell runners):
+
+  python -m deqsci_tpu.cli.video_sci --savepath ./save/test_cnn/ \
+      --testpath /root/reference/data/test_gray/ \
+      --loadpath /root/reference/models/cnn.ckpt \
+      --denoiser SimpleCNN --inference True
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--gpu_ids", default="0", help="accepted for "
+                   "compatibility; device selection is JAX's")
+    p.add_argument("--n_epochs", default=80)
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--and_maxiters", default=100)
+    p.add_argument("--and_beta", type=float, default=1.0)
+    p.add_argument("--and_m", type=int, default=5)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--etainit", type=float, default=0.9)
+    p.add_argument("--lr_gamma", type=float, default=0.9)
+    p.add_argument("--sched_step", type=int, default=10)
+    p.add_argument("--savepath", default="./save/test_ffdnet1/")
+    p.add_argument("--trainpath", default="./data/DAVIS/matlab/")
+    p.add_argument("--testpath", default="./data/test_gray/")
+    p.add_argument("--loadpath", default="")
+    p.add_argument("--denoiser", default="ffdnet")
+    p.add_argument("--inference", default=False,
+                   help="any non-empty value (incl. 'False') enables "
+                   "inference mode — reference-compatible quirk")
+    p.add_argument("--print_every_n_steps", type=int, default=1)
+    p.add_argument("--save_every_n_steps", type=int, default=50)
+    p.add_argument("--sigma", type=int, default=0)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    inference = bool(args.inference)
+
+    import cv2
+    import jax
+    import numpy as np
+
+    from deqsci_tpu.data.sci_mat import SCITestDataset, SCITrainingDataset
+    from deqsci_tpu.fp.deq import make_deq
+    from deqsci_tpu.io.checkpoint import CheckpointManager
+    from deqsci_tpu.maps.gap_sci import make_gap_sci_step
+    from deqsci_tpu.recon import make_reconstructor
+    from deqsci_tpu.train.eval import evaluate_dataset
+    from deqsci_tpu.train.loop import train_solver_sci
+    from deqsci_tpu.zoo import build_denoiser, load_reference_weights
+
+    print("devices:", jax.devices(), flush=True)
+
+    spec = build_denoiser(args.denoiser)
+    step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag)
+
+    load_location = args.loadpath
+    if args.sigma:
+        load_location = (f"./networks/provable/Pretrained_models/"
+                         f"{args.denoiser}_noise{args.sigma}.pth")
+
+    ckpt_mgr = CheckpointManager(os.path.join(args.savepath, "model"))
+    start_epoch = 0
+    if load_location and os.path.exists(load_location):
+        if os.path.isdir(load_location) or ckpt_mgr.exists(load_location):
+            snap = ckpt_mgr.restore(load_location, with_optimizer=False) \
+                if ckpt_mgr.exists(load_location) else None
+            if snap is None:
+                import orbax.checkpoint as ocp
+                snap = ocp.StandardCheckpointer().restore(
+                    os.path.abspath(load_location))
+            variables = snap["params"]
+            start_epoch = int(snap.get("epoch", -1)) + 1
+            print("loaded native checkpoint!", flush=True)
+        else:
+            variables, _sn = load_reference_weights(args.denoiser,
+                                                    load_location)
+            print("loaded dict!", flush=True)
+    else:
+        variables = spec.init_variables()
+        if load_location:
+            print(f"loadpath {load_location} not found; "
+                  "using random init", flush=True)
+
+    solver_kw = dict(m=int(args.and_m), beta=float(args.and_beta),
+                     lam=1e-2, max_iter=int(args.and_maxiters), tol=1e-5)
+
+    if inference:
+        from deqsci_tpu.train.eval import evaluate_file
+        recon = make_reconstructor(step, **solver_kw)
+        ds = SCITestDataset(args.testpath)
+        img_dir = os.path.join(args.savepath, "img", "test")
+        os.makedirs(img_dir, exist_ok=True)
+        psnrs, ssims = [], []
+        for data in ds:
+            r = evaluate_file(recon, variables, data)
+            psnrs.append(r["psnr"])
+            ssims.append(r["ssim"])
+            print(f"{data['file']}  PSNR: {r['psnr']:.2f} dB  "
+                  f"SSIM: {r['ssim']:.4f}", flush=True)
+            rec = np.round(np.clip(r["recon"], 0, 1) * 255.0).astype(np.uint8)
+            for fi in range(rec.shape[0]):
+                for t in range(rec.shape[-1]):
+                    cv2.imwrite(os.path.join(
+                        img_dir,
+                        f"{data['file']}_reconstruction_{fi * 8 + t}.png"),
+                        rec[fi, :, :, t])
+        avg = float(np.mean(psnrs))
+        print("---------------------------------",
+              f"Total Average PSNR: {avg:.2f} dB", flush=True)
+        return {"avg_psnr": avg, "avg_ssim": float(np.mean(ssims))}
+
+    # training
+    deq = make_deq(step, **solver_kw)
+    dataset = SCITrainingDataset(
+        os.path.join(args.trainpath, "gt/"),
+        os.path.join(args.trainpath, "measurement/"),
+        os.path.join(args.trainpath, "mask.mat"))
+    test_ds = SCITestDataset(args.testpath)
+    recon = make_reconstructor(step, **solver_kw)
+
+    def eval_fn(params):
+        s = evaluate_dataset(recon, params, test_ds, verbose=True,
+                             compute_ssim=False)
+        return s["avg_psnr"]
+
+    def save_fn(tag, snapshot):
+        ckpt_mgr.save(tag, snapshot)
+        print("dict saved!", flush=True)
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(args.savepath)
+    except ImportError:
+        pass
+
+    return train_solver_sci(
+        deq, variables, dataset,
+        n_epochs=int(args.n_epochs), base_lr=float(args.lr),
+        sched_step=int(args.sched_step), lr_gamma=float(args.lr_gamma),
+        start_epoch=start_epoch, eval_fn=eval_fn, save_fn=save_fn,
+        save_every_n_steps=int(args.save_every_n_steps),
+        print_every_n_steps=int(args.print_every_n_steps), writer=writer)
+
+
+if __name__ == "__main__":
+    main()

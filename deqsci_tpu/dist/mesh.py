@@ -1,0 +1,64 @@
+"""Device mesh + sharding rules for SCI workloads.
+
+The reference's entire parallelism story is single-process
+``nn.DataParallel`` (video_sci_proxgrad.py:128,196-198). The TPU-native
+replacement is a 2-D logical mesh:
+
+* ``data``  — batch / snapshot axis (pure data parallel; gradient psum
+  rides ICI, inserted by XLA under jit);
+* ``frame`` — the 8-frame temporal axis. The per-frame 2-D denoisers are
+  frame-independent, and the GAP step's only cross-frame coupling is the
+  mask-weighted sum ``A(z, Phi)`` — sharding frames turns that reduction
+  into one small psum per iteration, the SCI analogue of sequence/context
+  parallelism (SURVEY.md §5).
+
+Parameters are replicated (the denoisers are tiny: <2 MB); activations are
+sharded ``(data, ..., frame)``. Multi-host: the same mesh spans hosts —
+data-parallel gradient reductions ride DCN, frame-parallel stays intra-host
+on ICI if the mesh is laid out with ``frame`` innermost (the default here:
+``create_device_mesh`` keeps the trailing axis on the closest devices).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_frame: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Create a ``(data, frame)`` mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_frame
+    assert n_data * n_frame <= len(devices), (
+        f"need {n_data * n_frame} devices, have {len(devices)}")
+    mesh_devs = mesh_utils.create_device_mesh(
+        (n_data, n_frame), devices=devices[: n_data * n_frame])
+    return Mesh(mesh_devs, ("data", "frame"))
+
+
+def video_sharding(mesh: Mesh) -> NamedSharding:
+    """(batch, H, W, T) videos: batch over data, frames over frame."""
+    return NamedSharding(mesh, P("data", None, None, "frame"))
+
+
+def measurement_sharding(mesh: Mesh) -> NamedSharding:
+    """(batch, H, W) measurements: batch over data."""
+    return NamedSharding(mesh, P("data", None, None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a (gt, y, Phi) batch with the standard shardings."""
+    gt, y, Phi = batch
+    return (jax.device_put(gt, video_sharding(mesh)),
+            jax.device_put(y, measurement_sharding(mesh)),
+            jax.device_put(Phi, video_sharding(mesh)))

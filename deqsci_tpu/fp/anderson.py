@@ -73,17 +73,24 @@ def anderson(f: StepFn, x0: Any, *, m: int = 5, lam: float = 1e-4,
         act = (jnp.arange(m) < k).astype(dtype)          # min(k, m) active rows
 
         G = F - X                                        # inactive rows are 0
+        # full-fp32 matmuls: TPU-default bf16 here perturbs the mixing
+        # coefficients every iteration and drifts the fixed point
         GGt = jnp.einsum("bmn,bln->bml", G, G,
-                         preferred_element_type=dtype)
+                         preferred_element_type=dtype,
+                         precision=jax.lax.Precision.HIGHEST)
         H = jnp.zeros((bsz, m + 1, m + 1), dtype)
         H = H.at[:, 0, 1:].set(act)
         H = H.at[:, 1:, 0].set(act)
         H = H.at[:, 1:, 1:].set(GGt + lam * eye_m)       # inactive diag = lam -> alpha_i = 0
 
-        alpha = jnp.linalg.solve(H, rhs[..., None])[:, 1:, 0]   # (bsz, m)
+        with jax.default_matmul_precision("highest"):
+            # the LU solve lowers to small matmuls on TPU; keep them fp32
+            alpha = jnp.linalg.solve(H, rhs[..., None])[:, 1:, 0]  # (bsz, m)
 
-        xk = (beta * jnp.einsum("bm,bmn->bn", alpha, F)
-              + (1.0 - beta) * jnp.einsum("bm,bmn->bn", alpha, X))
+        hi = jax.lax.Precision.HIGHEST
+        xk = (beta * jnp.einsum("bm,bmn->bn", alpha, F, precision=hi)
+              + (1.0 - beta) * jnp.einsum("bm,bmn->bn", alpha, X,
+                                          precision=hi))
         fk = f_flat(xk, k)
 
         slot = k % m

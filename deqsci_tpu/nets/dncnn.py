@@ -22,17 +22,24 @@ import jax.numpy as jnp
 
 
 class DnCNN(nn.Module):
-    """Bias-free conv stack: conv-relu, (layers-2) x [conv (bn) relu], conv."""
+    """Bias-free conv stack: conv-relu, (layers-2) x [conv (bn) relu], conv.
+
+    ``precision`` defaults to 'highest' (full fp32 on the MXU): the DEQ runs
+    O(100) amplifying iterations through this net, and TPU-default bf16
+    convs cost ~2 dB PSNR on the benchmarks (measured; see PARITY.md).
+    """
 
     channels: int = 1
     features: int = 64
     num_layers: int = 4
     use_bn: bool = False
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         conv = lambda feats, name: nn.Conv(
-            feats, (3, 3), padding="SAME", use_bias=False, name=name)
+            feats, (3, 3), padding="SAME", use_bias=False, name=name,
+            precision=self.precision)
         x = nn.relu(conv(self.features, "conv0")(x))
         for i in range(1, self.num_layers - 1):
             x = conv(self.features, f"conv{i}")(x)

@@ -40,9 +40,14 @@ def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class FFDNet(nn.Module):
-    """Predicts the noise in ``x`` at level ``sigma`` (per-sample scalar)."""
+    """Predicts the noise in ``x`` at level ``sigma`` (per-sample scalar).
+
+    ``precision='highest'`` keeps convs in full fp32 — required for DEQ
+    fixed-point parity (see nets/dncnn.py note).
+    """
 
     in_channels: int = 1
+    precision: str = "highest"
 
     @property
     def _cfg(self):
@@ -64,7 +69,8 @@ class FFDNet(nn.Module):
         y = jnp.concatenate([noise_map, down], axis=-1)
 
         conv = lambda feats, name: nn.Conv(
-            feats, (3, 3), padding="SAME", use_bias=False, name=name)
+            feats, (3, 3), padding="SAME", use_bias=False, name=name,
+            precision=self.precision)
         y = nn.relu(conv(cfg["feats"], "conv0")(y))
         for i in range(1, cfg["layers"] - 1):
             y = conv(cfg["feats"], f"conv{i}")(y)

@@ -1,0 +1,186 @@
+"""End-to-end equilibrium training: optax step, NaN-reset, best-ckpt loop.
+
+TPU rebuild of ``train_solver_sci`` (training/sci_equilibrium_training.py:28-150)
+and the reference's Adam + StepLR recipe (video_sci_proxgrad.py:201-202):
+
+* one jitted train step: no-grad init point, DEQ forward (IFT backward),
+  mean-MSE loss, Adam update — optionally sharded over a (data, frame) mesh
+  (gradient psum inserted by XLA);
+* StepLR(step_size, gamma) as a per-epoch learning-rate schedule via
+  ``optax.inject_hyperparams``;
+* the reference's failure-recovery mechanism: on NaN loss (or loss explosion
+  ``(prev-cur)/prev < -10``) abort the epoch and restore the last checkpoint
+  including optimizer state (lines 46-49, 70-73, 137-138);
+* periodic full-test-set eval keeping ``best`` state (lines 105-130).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deqsci_tpu.ops.sensing import initial_point, phi_sum
+from deqsci_tpu.train.metrics import psnr
+
+
+def steplr(base_lr: float, step_size: int, gamma: float):
+    """StepLR-equivalent: lr(epoch) = base * gamma**(epoch // step_size)."""
+    def lr_for_epoch(epoch: int) -> float:
+        return base_lr * (gamma ** (epoch // step_size))
+    return lr_for_epoch
+
+
+def make_optimizer(base_lr: float = 1e-4):
+    return optax.inject_hyperparams(optax.adam)(learning_rate=base_lr)
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    epoch: int = 0
+
+    def snapshot(self) -> Dict[str, Any]:
+        return {"params": jax.tree.map(np.asarray, self.params),
+                "opt_state": jax.tree.map(
+                    lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                    self.opt_state),
+                "epoch": self.epoch}
+
+
+def make_train_step(deq: Callable, optimizer) -> Callable:
+    """Build the jitted train step.
+
+    ``deq(params, z0, (y, Phi, Phi_sum))`` is the DEQ forward with IFT
+    gradients. The batch is ``(gt, y, Phi)``, all device arrays; with
+    sharded inputs the gradient all-reduce is inserted by XLA.
+    """
+
+    def loss_fn(params, gt, y, Phi, ps):
+        z0 = jax.lax.stop_gradient(initial_point(y, Phi))
+        rec = deq(params, z0, (y, Phi, ps))
+        return jnp.mean((rec - gt) ** 2), rec
+
+    @jax.jit
+    def train_step(params, opt_state, gt, y, Phi):
+        ps = phi_sum(Phi)
+        (loss, rec), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, gt, y, Phi, ps)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        batch_psnr = psnr(jnp.clip(rec, 0, 1), gt)
+        return params, opt_state, loss, batch_psnr
+
+    return train_step
+
+
+def train_solver_sci(deq: Callable, params, dataset, *,
+                     n_epochs: int = 80, base_lr: float = 1e-4,
+                     sched_step: int = 10, lr_gamma: float = 0.9,
+                     start_epoch: int = 0,
+                     eval_fn: Optional[Callable] = None,
+                     save_fn: Optional[Callable] = None,
+                     save_every_n_steps: int = 50,
+                     print_every_n_steps: int = 1,
+                     explosion_threshold: float = -10.0,
+                     writer=None) -> Dict[str, Any]:
+    """The full training loop with NaN-reset-from-checkpoint semantics.
+
+    ``dataset`` yields dicts {gt, meas, mask} (numpy, unbatched);
+    ``eval_fn(params) -> avg_psnr`` runs the test protocol;
+    ``save_fn(tag, state_snapshot)`` persists checkpoints.
+    """
+    optimizer = make_optimizer(base_lr)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(deq, optimizer)
+    lr_of = steplr(base_lr, sched_step, lr_gamma)
+
+    state = TrainState(params, opt_state, start_epoch)
+    last_good = state.snapshot()
+    best_psnr = -np.inf
+    cur_nimg = 0
+    start_time = time.time()
+    reset_flag = False
+
+    for epoch in range(start_epoch, n_epochs):
+        if reset_flag:
+            print("NaN/explosion reset: restoring last checkpoint",
+                  flush=True)
+            state = TrainState(
+                jax.tree.map(jnp.asarray, last_good["params"]),
+                jax.tree.map(
+                    lambda x: jnp.asarray(x) if hasattr(x, "shape") else x,
+                    last_good["opt_state"]),
+                epoch)
+        reset_flag = False
+
+        # StepLR: set this epoch's lr inside the injected hyperparams.
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            lr_of(epoch), jnp.float32)
+
+        previous_loss = None
+        loss_v = np.nan
+        for ii, sample in enumerate(dataset):
+            gt = jnp.asarray(sample["gt"])[None]
+            y = jnp.asarray(sample["meas"])[None]
+            Phi = jnp.asarray(sample["mask"])[None]
+            cur_nimg += 1
+
+            p, o, loss, batch_psnr = train_step(
+                state.params, state.opt_state, gt, y, Phi)
+            loss_v = float(loss)
+            if np.isnan(loss_v):
+                print("Loss is nan!", flush=True)
+                reset_flag = True
+                break
+            state.params, state.opt_state = p, o
+            if ii == 0:
+                previous_loss = loss_v
+
+            if writer is not None:
+                wall = time.time() - start_time
+                writer.add_scalar("main/PSNR", float(batch_psnr),
+                                  global_step=cur_nimg, walltime=wall)
+                writer.add_scalar("main/loss", loss_v,
+                                  global_step=cur_nimg, walltime=wall)
+                writer.add_scalar("config/lr", lr_of(epoch),
+                                  global_step=cur_nimg, walltime=wall)
+                writer.add_scalar("main/best_PSNR", best_psnr,
+                                  global_step=cur_nimg, walltime=wall)
+
+            if ii % print_every_n_steps == 0:
+                print(f"Epoch: {epoch} Step: {ii} Loss: {loss_v:.6f} "
+                      f"PSNR: {float(batch_psnr):.2f} dB "
+                      f"best PSNR (test): {best_psnr:.2f} dB "
+                      f"lr: {lr_of(epoch):.8f}", flush=True)
+
+            if eval_fn is not None and (ii + 1) % save_every_n_steps == 0:
+                cur = eval_fn(state.params)
+                if cur > best_psnr:
+                    best_psnr = cur
+                    if save_fn is not None:
+                        save_fn("best", state.snapshot())
+
+        if previous_loss is not None and not np.isnan(loss_v) and \
+                previous_loss != 0 and \
+                (previous_loss - loss_v) / previous_loss < explosion_threshold:
+            reset_flag = True
+        if np.isnan(loss_v):
+            reset_flag = True
+
+        if not reset_flag:
+            state.epoch = epoch
+            last_good = state.snapshot()
+            if save_fn is not None:
+                save_fn(f"epoch_{epoch}", last_good)
+        if eval_fn is not None:
+            eval_fn(state.params)
+
+    return {"params": state.params, "opt_state": state.opt_state,
+            "best_psnr": best_psnr}

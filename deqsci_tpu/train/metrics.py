@@ -48,7 +48,8 @@ def ssim(img1, img2, window_size: int = 11, data_range: float = 1.0):
         return jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c)
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST)
 
     mu1, mu2 = filt(a), filt(b)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2

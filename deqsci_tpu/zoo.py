@@ -1,0 +1,100 @@
+"""Denoiser zoo: the reference CLI's 13 string options -> framework nets.
+
+Mirrors the factory at video_sci_proxgrad.py:145-185. Each entry yields
+``(module, tag, apply_fn, init_shapes)``; checkpoint loading goes through
+io/torch_ckpt.py for reference .ckpt/.pth files or io/checkpoint.py for
+native ones.
+
+Option notes (faithful to the reference):
+* 'SimpleCNN'        4-layer bias-free DnCNN, no BN, lip=0 (plain)
+* 'RealSN_SimpleCNN' same net; SN is a train-time transform (nets/sn.py)
+* 'DnCNN'/'RealSN_DnCNN'  17-layer with BN
+* 'dncnn_norm'       17-layer SN DnCNN — broken import upstream
+  (networks/realSN_models.py:2); implemented (not broken) here
+* 'ffdnet'           sigma-conditioned FFDNet (the flagship)
+* 'unet'/'unet_norm'/'unet3d'/'unet3d_noise'/'unetnorm_noise'  U-Net family
+* 'resnet'/'resnet_noise'   n-block ResNet
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class DenoiserSpec:
+    module: Any
+    tag: str
+    needs_sigma: bool = False
+    conv3d: bool = False
+
+    def apply_fn(self) -> Callable:
+        mod = self.module
+        if self.needs_sigma:
+            return lambda params, x, sigma: mod.apply(params, x, sigma)
+        return lambda params, x: mod.apply(params, x)
+
+    def init_variables(self, rng_key=None, h: int = 64, w: int = 64,
+                       t: int = 8):
+        rng_key = rng_key if rng_key is not None else jax.random.key(0)
+        if self.conv3d:
+            x = jnp.zeros((1, t, h, w, 1))
+        else:
+            x = jnp.zeros((t, h, w, 1))
+        if self.needs_sigma:
+            return self.module.init(rng_key, x, jnp.zeros((x.shape[0],)))
+        return self.module.init(rng_key, x)
+
+
+def build_denoiser(name: str, n_channels: int = 1) -> DenoiserSpec:
+    from deqsci_tpu.nets.dncnn import DnCNN
+    from deqsci_tpu.nets.ffdnet import FFDNet
+    from deqsci_tpu.nets.resnet import NBlockResNet
+    from deqsci_tpu.nets.unet import UNet
+
+    if name == "unet":
+        return DenoiserSpec(UNet(out_chans=n_channels, chans=32,
+                                 num_pool_layers=4, final_clamp=True),
+                            tag="conv2d")
+    if name == "unet3d":
+        return DenoiserSpec(UNet(out_chans=n_channels, chans=32,
+                                 num_pool_layers=4, conv3d=True),
+                            tag="conv3d", conv3d=True)
+    if name == "unet_norm":
+        return DenoiserSpec(UNet(out_chans=n_channels, chans=32,
+                                 num_pool_layers=4), tag="conv2d")
+    if name == "unet3d_noise":
+        return DenoiserSpec(UNet(out_chans=n_channels, chans=32,
+                                 num_pool_layers=4, conv3d=True),
+                            tag="3d_denoiser", conv3d=True)
+    if name == "unetnorm_noise":
+        return DenoiserSpec(UNet(out_chans=n_channels, chans=32,
+                                 num_pool_layers=4), tag="denoiser")
+    if name == "resnet":
+        return DenoiserSpec(NBlockResNet(out_chans=n_channels), tag="conv2d")
+    if name == "resnet_noise":
+        return DenoiserSpec(NBlockResNet(out_chans=n_channels),
+                            tag="denoiser")
+    if name == "ffdnet":
+        return DenoiserSpec(FFDNet(in_channels=n_channels), tag="ffdnet",
+                            needs_sigma=True)
+    if name in ("DnCNN", "RealSN_DnCNN", "dncnn_norm"):
+        return DenoiserSpec(DnCNN(channels=n_channels, num_layers=17,
+                                  use_bn=True), tag="denoiser")
+    if name in ("SimpleCNN", "RealSN_SimpleCNN"):
+        return DenoiserSpec(DnCNN(channels=n_channels, num_layers=4,
+                                  use_bn=False), tag="denoiser")
+    raise NotImplementedError(f"unknown denoiser: {name!r}")
+
+
+def load_reference_weights(name: str, path: str) -> Tuple[Any, dict]:
+    """Load a reference torch checkpoint for denoiser ``name``."""
+    from deqsci_tpu.io import torch_ckpt
+
+    if name == "ffdnet":
+        return torch_ckpt.convert_ffdnet(path)
+    return torch_ckpt.convert_dncnn(path)

@@ -1,0 +1,66 @@
+"""Sharding: mesh construction, sharded step == replicated step, dryrun."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deqsci_tpu.dist.mesh import (make_mesh, measurement_sharding,
+                                  replicated, video_sharding)
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                             reason="needs 8 virtual devices")
+
+
+@needs_8
+def test_mesh_axes():
+    mesh = make_mesh(n_data=4, n_frame=2)
+    assert mesh.axis_names == ("data", "frame")
+    assert mesh.devices.shape == (4, 2)
+
+
+@needs_8
+def test_sharded_matches_single_device(rng):
+    """A sharded DEQ train step must produce the same numbers as an
+    unsharded one (GSPMD only changes layout, not math)."""
+    from deqsci_tpu.fp.deq import make_deq
+    from deqsci_tpu.maps.gap_sci import make_gap_sci_step
+    from deqsci_tpu.nets.dncnn import DnCNN
+    from deqsci_tpu.ops.sensing import A
+    from deqsci_tpu.train.loop import make_optimizer, make_train_step
+
+    h = w = 16
+    t = 8
+    bsz = 4
+    net = DnCNN(features=8, num_layers=3, use_bn=False)
+    variables = net.init(jax.random.key(0), jnp.zeros((1, h, w, 1)))
+    step = make_gap_sci_step(lambda p, x: net.apply(p, x), tag="denoiser")
+    deq = make_deq(step, m=5, lam=1e-2, max_iter=6, tol=1e-7)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(variables)
+    train_step = make_train_step(deq, optimizer)
+
+    gt = jnp.asarray(rng.random((bsz, h, w, t)).astype(np.float32))
+    Phi = jnp.asarray((rng.random((bsz, h, w, t)) > 0.5).astype(np.float32))
+    y = A(gt, Phi)
+
+    _, _, loss_ref, psnr_ref = train_step(variables, opt_state, gt, y, Phi)
+
+    mesh = make_mesh(n_data=4, n_frame=2)
+    with mesh:
+        params_s = jax.device_put(variables, replicated(mesh))
+        opt_s = jax.device_put(opt_state, replicated(mesh))
+        gt_s = jax.device_put(gt, video_sharding(mesh))
+        Phi_s = jax.device_put(Phi, video_sharding(mesh))
+        y_s = jax.device_put(y, measurement_sharding(mesh))
+        _, _, loss_sh, psnr_sh = train_step(params_s, opt_s, gt_s, y_s, Phi_s)
+
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(float(psnr_sh), float(psnr_ref), rtol=1e-4)
+
+
+@needs_8
+def test_graft_dryrun():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)

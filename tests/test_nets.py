@@ -1,0 +1,103 @@
+"""Network zoo: shapes, variants, FFDNet mosaic parity with the reference
+indexing scheme."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deqsci_tpu.nets.ffdnet import FFDNet, depth_to_space, space_to_depth
+from deqsci_tpu.nets.resnet import NBlockResNet
+from deqsci_tpu.nets.unet import UNet
+from deqsci_tpu.zoo import build_denoiser
+
+
+def _reference_space_to_depth(x_nchw):
+    """Numpy restatement of the reference's interleaved downsampling
+    (networks/ffdnet/functions.py:48-50): channel 4*c + idx."""
+    n, c, h, w = x_nchw.shape
+    out = np.zeros((n, 4 * c, h // 2, w // 2), x_nchw.dtype)
+    for i, (r, s) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        out[:, i::4] = x_nchw[:, :, r::2, s::2]
+    return out
+
+
+@pytest.mark.parametrize("c", [1, 3])
+def test_space_to_depth_matches_reference(rng, c):
+    x = rng.standard_normal((2, 8, 8, c)).astype(np.float32)
+    got = np.asarray(space_to_depth(jnp.asarray(x)))          # NHWC
+    want = _reference_space_to_depth(
+        x.transpose(0, 3, 1, 2)).transpose(0, 2, 3, 1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_depth_to_space_inverts(rng):
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 1)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x))), np.asarray(x))
+
+
+def test_ffdnet_shapes(rng):
+    net = FFDNet(in_channels=1)
+    x = jnp.zeros((4, 32, 32, 1))
+    v = net.init(jax.random.key(0), x, jnp.zeros((4,)))
+    out = net.apply(v, x, jnp.full((4,), 0.1))
+    assert out.shape == (4, 32, 32, 1)
+
+
+@pytest.mark.parametrize("conv3d", [False, True])
+def test_unet_shapes(conv3d):
+    net = UNet(out_chans=1, chans=8, num_pool_layers=3, conv3d=conv3d)
+    shape = (1, 8, 32, 32, 1) if conv3d else (2, 32, 32, 1)
+    x = jnp.zeros(shape)
+    v = net.init(jax.random.key(0), x)
+    out = net.apply(v, x)
+    assert out.shape == shape
+
+
+def test_unet_odd_size_reflect_pad():
+    """48x42 inputs exercise the odd-size reflect-pad fix at every level."""
+    net = UNet(out_chans=1, chans=4, num_pool_layers=4)
+    x = jnp.zeros((1, 49, 42, 1))
+    v = net.init(jax.random.key(0), x)
+    out = net.apply(v, x)
+    assert out.shape == (1, 49, 42, 1)
+
+
+def test_unet_clamp_variant():
+    net = UNet(out_chans=1, chans=4, num_pool_layers=2, final_clamp=True)
+    x = jnp.full((1, 16, 16, 1), 100.0)
+    v = net.init(jax.random.key(0), x)
+    out = net.apply(v, x)
+    assert float(jnp.max(out)) <= 1.0 and float(jnp.min(out)) >= -1.0
+
+
+def test_resnet_mean_restore(rng):
+    net = NBlockResNet(out_chans=1, features=8, n_residual_blocks=1)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 1)).astype(np.float32))
+    v = net.init(jax.random.key(0), x)
+    out = net.apply(v, x)
+    assert out.shape == x.shape
+
+
+ALL_ZOO = ["unet", "unet3d", "unet_norm", "resnet", "dncnn_norm", "ffdnet",
+           "unet3d_noise", "unetnorm_noise", "resnet_noise", "DnCNN",
+           "SimpleCNN", "RealSN_DnCNN", "RealSN_SimpleCNN"]
+
+
+@pytest.mark.parametrize("name", ALL_ZOO)
+def test_zoo_builds_and_applies(name):
+    spec = build_denoiser(name)
+    v = spec.init_variables(h=32, w=32, t=8)
+    apply_fn = spec.apply_fn()
+    x = jnp.zeros((1, 8, 32, 32, 1)) if spec.conv3d else jnp.zeros((8, 32, 32, 1))
+    if spec.needs_sigma:
+        out = apply_fn(v, x, jnp.full((x.shape[0],), 0.1))
+    else:
+        out = apply_fn(v, x)
+    assert out.shape == x.shape
+
+
+def test_zoo_unknown_raises():
+    with pytest.raises(NotImplementedError):
+        build_denoiser("nope")

@@ -1,0 +1,75 @@
+"""Training loop: step correctness, StepLR schedule, NaN-reset recovery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deqsci_tpu.fp.deq import make_deq
+from deqsci_tpu.maps.gap_sci import make_gap_sci_step
+from deqsci_tpu.nets.dncnn import DnCNN
+from deqsci_tpu.ops.sensing import A
+from deqsci_tpu.train.loop import (make_optimizer, make_train_step, steplr,
+                                   train_solver_sci)
+
+
+def _tiny_problem(rng, n=3, h=16, w=16, t=8):
+    net = DnCNN(features=8, num_layers=3, use_bn=False)
+    variables = net.init(jax.random.key(0), jnp.zeros((1, h, w, 1)))
+    step = make_gap_sci_step(lambda p, x: net.apply(p, x), tag="denoiser")
+    deq = make_deq(step, m=5, lam=1e-2, max_iter=8, tol=1e-6)
+
+    samples = []
+    for _ in range(n):
+        gt = rng.random((h, w, t)).astype(np.float32)
+        Phi = (rng.random((h, w, t)) > 0.5).astype(np.float32)
+        y = np.asarray(A(jnp.asarray(gt)[None], jnp.asarray(Phi)[None]))[0]
+        samples.append({"gt": gt, "meas": y, "mask": Phi})
+    return deq, variables, samples
+
+
+def test_train_step_reduces_loss(rng):
+    deq, params, samples = _tiny_problem(rng)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(deq, optimizer)
+
+    s = samples[0]
+    gt = jnp.asarray(s["gt"])[None]
+    y = jnp.asarray(s["meas"])[None]
+    Phi = jnp.asarray(s["mask"])[None]
+
+    losses = []
+    for _ in range(8):
+        params, opt_state, loss, _ = train_step(params, opt_state, gt, y, Phi)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_steplr_schedule():
+    lr = steplr(1e-4, 10, 0.9)
+    assert lr(0) == 1e-4
+    assert lr(9) == 1e-4
+    np.testing.assert_allclose(lr(10), 9e-5)
+    np.testing.assert_allclose(lr(25), 1e-4 * 0.9 ** 2)
+
+
+def test_full_loop_runs_and_checkpoints(rng, tmp_path):
+    deq, params, samples = _tiny_problem(rng, n=2)
+    saved = {}
+
+    def save_fn(tag, snapshot):
+        saved[tag] = snapshot
+
+    evals = []
+
+    def eval_fn(p):
+        evals.append(1)
+        return float(len(evals))  # strictly improving -> exercises best-ckpt
+
+    out = train_solver_sci(deq, params, samples, n_epochs=2, base_lr=1e-3,
+                           eval_fn=eval_fn, save_fn=save_fn,
+                           save_every_n_steps=1, print_every_n_steps=100)
+    assert "epoch_0" in saved and "epoch_1" in saved
+    assert "best" in saved
+    assert out["best_psnr"] > 0
