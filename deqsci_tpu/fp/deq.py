@@ -40,6 +40,7 @@ StepWithParams = Callable[[Any, Any, jnp.ndarray, Any], Any]
 
 
 def make_deq(step: StepWithParams, solver: Callable = anderson,
+             backward: str = "solver", neumann_k: int = 10,
              **solver_kwargs):
     """Build ``deq(params, z0, args) -> z`` with IFT gradients.
 
@@ -47,10 +48,20 @@ def make_deq(step: StepWithParams, solver: Callable = anderson,
     forward root-find and the backward transpose-Jacobian solve, as in the
     reference (``**self.kwargs`` at lines 265 and 275).
 
+    ``backward`` selects the gradient scheme:
+    * ``"solver"``      IFT solve with the same root-finder (DEQFixedPoint);
+    * ``"neumann"``     truncated Neumann series ``sum_i (J^T)^i g`` with
+                        ``neumann_k`` terms (DEQFixedPointNeumann,
+                        solvers/new_equilibrium_utils_yaping.py:331-365);
+    * ``"passthrough"`` gradient of the single re-attach step only, no
+                        replacement (hook-less DEQ — the forward-only
+                        DEQFixedPointADMM variant, lines 414-451).
+
     The returned function also has a ``.with_info`` attribute:
     ``deq.with_info(params, z0, args) -> (z, FPInfo)`` for residual
     diagnostics (the reference's ``forward_res``).
     """
+    assert backward in ("solver", "neumann", "passthrough")
 
     def _solve(params, z0, args):
         f = lambda z, k: step(params, z, k, args)
@@ -73,11 +84,22 @@ def make_deq(step: StepWithParams, solver: Callable = anderson,
         # Linearize one step at the forward output (reference's f0 = f(z0)).
         _, vjp_z = jax.vjp(lambda zz: step(params, zz, k1 + 1, args), z_out)
 
-        def grad_map(y, k):
-            del k  # the linear map has no per-call state
-            return jax.tree.map(jnp.add, vjp_z(y)[0], g)
+        if backward == "solver":
+            def grad_map(y, k):
+                del k  # the linear map has no per-call state
+                return jax.tree.map(jnp.add, vjp_z(y)[0], g)
 
-        g_star, _ = solver(grad_map, g, **solver_kwargs)
+            g_star, _ = solver(grad_map, g, **solver_kwargs)
+        elif backward == "neumann":
+            def neumann_body(carry, _):
+                acc, cur = carry
+                cur = vjp_z(cur)[0]
+                return (jax.tree.map(jnp.add, acc, cur), cur), None
+
+            (g_star, _), _ = jax.lax.scan(neumann_body, (g, g), None,
+                                          length=neumann_k)
+        else:  # passthrough
+            g_star = g
 
         # Cotangents for params/args via the re-attach step at (z_star, k1).
         _, vjp_pa = jax.vjp(lambda p, a: step(p, z_star, k1, a), params, args)
