@@ -1,20 +1,29 @@
 """Single-coil Cartesian MRI operator (k-space column undersampling).
 
-Rebuild of operators/singlecoil_mri.py:368-486 on ``jnp.fft``:
+Rebuild of operators/singlecoil_mri.py:368-486, TPU-first: the centered,
+ortho-normalized 2-D Fourier transform is implemented as **real-valued
+matmuls with precomputed centered-DFT matrices** instead of complex FFTs.
+Rationale:
 
-* images are (N, H, W, 2) real-view of a complex image (real/imag as the
-  trailing channel pair — the layout the 2-channel denoisers consume);
-* forward = centered, ortho-normalized 2-D FFT followed by the column
-  mask; adjoint = the exact adjoint (masked inverse centered FFT). Note:
-  the reference's ``adjoint`` (lines 478-486) omits the mask and one
-  fftshift relative to the true adjoint of its ``forward`` — here the pair
-  is exactly adjoint (verified by test against the autodiff transpose),
-  which is what CG/gramian-based maps assume;
-* ``create_mask`` reproduces the reference's Gaussian-density exhaustive
-  column sampler (lines 350-393) including the fixed-seed RNG protocol.
+* complex dtypes are second-class on TPU runtimes (and entirely broken on
+  some PJRT backends); a (..., 2) real layout is what the 2-channel
+  denoisers consume anyway (the reference's ``view_as_complex`` dance,
+  lines 448-486);
+* for MRI-scale images (256-320 px) the O(N^3) DFT-by-matmul is a few
+  MFLOP — microseconds on the MXU — and XLA fuses the mask multiply in;
+  the reference itself ships learnable DFT-matrix variants
+  (utils/forward_models_mri.py:432-633);
+* forward/adjoint form an exact adjoint pair (the reference's ``adjoint``
+  omits the mask and a shift relative to the true adjoint of its forward —
+  fixed here, verified against the autodiff transpose).
+
+``create_mask`` reproduces the reference's Gaussian-density exhaustive
+column sampler (lines 350-393) including the fixed-seed RNG protocol.
 """
 
 from __future__ import annotations
+
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,28 +31,38 @@ import numpy as np
 
 from deqsci_tpu.ops.linops import LinearOperator
 
-
-def _to_complex(x: jnp.ndarray) -> jnp.ndarray:
-    # lax.complex, not `re + 1j*im`: complex python constants hit an
-    # unimplemented constant-materialization path on some TPU runtimes
-    return jax.lax.complex(x[..., 0], x[..., 1])
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _to_real(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)
+def centered_dft_matrix(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(re, im) of the centered ortho DFT matrix S_fft F S_ifft."""
+    eye = np.eye(n)
+    m = np.fft.fftshift(
+        np.fft.fft(np.fft.ifftshift(eye, axes=0), axis=0, norm="ortho"),
+        axes=0)
+    return (np.ascontiguousarray(m.real.astype(np.float32)),
+            np.ascontiguousarray(m.imag.astype(np.float32)))
 
 
-def _fft2c(img: jnp.ndarray) -> jnp.ndarray:
-    """Centered ortho 2-D FFT over the last two axes of a complex array."""
-    x = jnp.fft.ifftshift(img, axes=(-2, -1))
-    k = jnp.fft.fft2(x, axes=(-2, -1), norm="ortho")
-    return jnp.fft.fftshift(k, axes=(-2, -1))
+def _cmatmul_axis(mr: jnp.ndarray, mi: jnp.ndarray, xr: jnp.ndarray,
+                  xi: jnp.ndarray, axis: int):
+    """Complex matmul (mr + i mi) @ x along ``axis`` of (N, H, W) parts."""
+    eq = "ab,nbw->naw" if axis == 1 else "ab,nhb->nha"
+    f = lambda m, x: jnp.einsum(eq, m, x, precision=_HI)
+    return (f(mr, xr) - f(mi, xi), f(mr, xi) + f(mi, xr))
 
 
-def _ifft2c(k: jnp.ndarray) -> jnp.ndarray:
-    x = jnp.fft.ifftshift(k, axes=(-2, -1))
-    img = jnp.fft.ifft2(x, axes=(-2, -1), norm="ortho")
-    return jnp.fft.fftshift(img, axes=(-2, -1))
+def _fft2c(xr, xi, mats):
+    (hr, hi), (wr, wi) = mats
+    xr, xi = _cmatmul_axis(hr, hi, xr, xi, axis=1)
+    return _cmatmul_axis(wr, wi, xr, xi, axis=2)
+
+
+def _ifft2c(xr, xi, mats):
+    # inverse of a unitary matrix = conjugate transpose
+    (hr, hi), (wr, wi) = mats
+    xr, xi = _cmatmul_axis(hr.T, -hi.T, xr, xi, axis=1)
+    return _cmatmul_axis(wr.T, -wi.T, xr, xi, axis=2)
 
 
 def exhaustive_sample(center_frac: float, acceleration: float, n_cols: int,
@@ -72,19 +91,29 @@ def create_mask(shape, center_fraction: float, acceleration: float,
         np.float32)
 
 
-def cartesian_single_coil_mri(mask) -> LinearOperator:
-    """mask broadcastable over the complex (N, H, W) k-space."""
-    m = jnp.asarray(mask)
+def cartesian_single_coil_mri(mask, h: int = None, w: int = None
+                              ) -> LinearOperator:
+    """Build the operator. ``mask`` broadcastable over (N, H, W) k-space;
+    h/w default to the mask's trailing dims (w = mask.shape[-1])."""
+    m = jnp.asarray(np.asarray(mask, np.float32))
+    w = w if w is not None else m.shape[-1]
+    h = h if h is not None else (m.shape[-2] if m.ndim >= 2 and
+                                 m.shape[-2] > 1 else w)
+    mats = (tuple(map(jnp.asarray, centered_dft_matrix(h))),
+            tuple(map(jnp.asarray, centered_dft_matrix(w))))
 
     def forward(x):
-        return _to_real(_fft2c(_to_complex(x)) * m)
+        kr, ki = _fft2c(x[..., 0], x[..., 1], mats)
+        return jnp.stack([kr * m, ki * m], axis=-1)
 
     def adjoint(y):
-        return _to_real(_ifft2c(_to_complex(y) * m))
+        xr, xi = _ifft2c(y[..., 0] * m, y[..., 1] * m, mats)
+        return jnp.stack([xr, xi], axis=-1)
 
     def gramian(x):
-        # mask is 0/1 so m*m = m: one round trip
-        return _to_real(_ifft2c(_fft2c(_to_complex(x)) * m))
+        kr, ki = _fft2c(x[..., 0], x[..., 1], mats)
+        xr, xi = _ifft2c(kr * m, ki * m, mats)  # mask is 0/1: m*m = m
+        return jnp.stack([xr, xi], axis=-1)
 
     return LinearOperator(forward=forward, adjoint=adjoint,
                           _gramian=gramian)
