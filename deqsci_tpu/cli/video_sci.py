@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--print_every_n_steps", type=int, default=1)
     p.add_argument("--save_every_n_steps", type=int, default=50)
     p.add_argument("--sigma", type=int, default=0)
+    p.add_argument("--sci_solver", default="gap", choices=["gap", "admm"],
+                   help="iteration map: GAP prox-grad (reference default) "
+                   "or ADMM (present-but-unwired upstream: "
+                   "solvers/equilibrium_solvers_yaping.py:438-465)")
     return p
 
 
@@ -69,7 +73,19 @@ def main(argv=None):
     print("devices:", jax.devices(), flush=True)
 
     spec = build_denoiser(args.denoiser)
-    step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag)
+    if args.sci_solver == "admm":
+        from deqsci_tpu.maps.admm_sci import make_admm_sci_step
+        from deqsci_tpu.ops.sensing import initial_point_admm
+        step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag)
+        recon_kw = dict(init_fn=initial_point_admm,
+                        output_fn=lambda c: c[0])
+        # reference DEQFixedPointADMM has its backward hook disabled
+        # (lines 414-451): gradients flow through the re-attach step only
+        deq_kw = dict(backward="passthrough")
+    else:
+        step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag)
+        recon_kw = {}
+        deq_kw = {}
 
     load_location = args.loadpath
     if args.sigma:
@@ -104,7 +120,7 @@ def main(argv=None):
 
     if inference:
         from deqsci_tpu.train.eval import evaluate_file
-        recon = make_reconstructor(step, **solver_kw)
+        recon = make_reconstructor(step, **recon_kw, **solver_kw)
         ds = SCITestDataset(args.testpath)
         img_dir = os.path.join(args.savepath, "img", "test")
         os.makedirs(img_dir, exist_ok=True)
@@ -128,13 +144,13 @@ def main(argv=None):
         return {"avg_psnr": avg, "avg_ssim": float(np.mean(ssims))}
 
     # training
-    deq = make_deq(step, **solver_kw)
+    deq = make_deq(step, **deq_kw, **solver_kw)
     dataset = SCITrainingDataset(
         os.path.join(args.trainpath, "gt/"),
         os.path.join(args.trainpath, "measurement/"),
         os.path.join(args.trainpath, "mask.mat"))
     test_ds = SCITestDataset(args.testpath)
-    recon = make_reconstructor(step, **solver_kw)
+    recon = make_reconstructor(step, **recon_kw, **solver_kw)
 
     def eval_fn(params):
         s = evaluate_dataset(recon, params, test_ds, verbose=True,
@@ -152,13 +168,19 @@ def main(argv=None):
     except ImportError:
         pass
 
+    train_kw = {}
+    if args.sci_solver == "admm":
+        from deqsci_tpu.ops.sensing import initial_point_admm
+        train_kw = dict(init_fn=initial_point_admm,
+                        output_fn=lambda c: c[0])
     return train_solver_sci(
         deq, variables, dataset,
         n_epochs=int(args.n_epochs), base_lr=float(args.lr),
         sched_step=int(args.sched_step), lr_gamma=float(args.lr_gamma),
         start_epoch=start_epoch, eval_fn=eval_fn, save_fn=save_fn,
         save_every_n_steps=int(args.save_every_n_steps),
-        print_every_n_steps=int(args.print_every_n_steps), writer=writer)
+        print_every_n_steps=int(args.print_every_n_steps),
+        writer=writer, **train_kw)
 
 
 if __name__ == "__main__":

@@ -38,12 +38,18 @@ from deqsci_tpu.fp.common import FPInfo, StepFn, batch_flatten, global_norm
 
 def anderson(f: StepFn, x0: Any, *, m: int = 5, lam: float = 1e-4,
              max_iter: int = 50, tol: float = 1e-5,
-             beta: float = 1.0) -> Tuple[Any, FPInfo]:
+             beta: float = 1.0,
+             record_trace: bool = False) -> Tuple[Any, FPInfo]:
     """Solve ``z = f(z, k)`` by Anderson acceleration.
 
     ``x0`` is a pytree with shared leading batch dim; ``f`` maps pytree ->
     pytree at call index ``k``. The mixing coefficients are solved per batch
     element; the stopping residual is global, as in the reference.
+
+    ``record_trace=True`` additionally returns the per-iteration residual
+    curve in ``info.trace`` (the reference's ``anderson`` res list,
+    solvers/new_equilibrium_utils_yaping.py:131-150 — a first-class metric
+    here, stored on device in a fixed (max_iter,) buffer, inf-padded).
     """
     x0f, unflatten = batch_flatten(x0)
     bsz, n_flat = x0f.shape
@@ -64,12 +70,17 @@ def anderson(f: StepFn, x0: Any, *, m: int = 5, lam: float = 1e-4,
     eye_m = jnp.eye(m, dtype=dtype)
     rhs = jnp.zeros((bsz, m + 1), dtype).at[:, 0].set(1.0)
 
+    trace0 = jnp.full((max_iter,), jnp.inf, dtype) if record_trace else None
+
     def cond(c):
-        k, _, _, _, _, done = c
+        k, done = c[0], c[-1]
         return jnp.logical_and(k < max_iter, jnp.logical_not(done))
 
     def body(c):
-        k, last_k, X, F, res, done = c
+        if record_trace:
+            k, last_k, X, F, res, trace, done = c
+        else:
+            k, last_k, X, F, res, done = c
         act = (jnp.arange(m) < k).astype(dtype)          # min(k, m) active rows
 
         G = F - X                                        # inactive rows are 0
@@ -104,19 +115,30 @@ def anderson(f: StepFn, x0: Any, *, m: int = 5, lam: float = 1e-4,
         F = jnp.where(done, F, F_new)
         res = jnp.where(done, res, new_res)
         last_k = jnp.where(done, last_k, k)
+        if record_trace:
+            trace = jnp.where(done, trace, trace.at[k].set(new_res))
         done = jnp.logical_or(done, new_res < tol)
+        if record_trace:
+            return k + 1, last_k, X, F, res, trace, done
         return k + 1, last_k, X, F, res, done
 
-    init = (jnp.int32(2), jnp.int32(0), X, F,
-            jnp.array(jnp.inf, dtype), jnp.array(False))
-    k, last_k, X, F, res, done = jax.lax.while_loop(cond, body, init)
+    if record_trace:
+        init = (jnp.int32(2), jnp.int32(0), X, F,
+                jnp.array(jnp.inf, dtype), trace0, jnp.array(False))
+        k, last_k, X, F, res, trace, done = jax.lax.while_loop(
+            cond, body, init)
+    else:
+        trace = None
+        init = (jnp.int32(2), jnp.int32(0), X, F,
+                jnp.array(jnp.inf, dtype), jnp.array(False))
+        k, last_k, X, F, res, done = jax.lax.while_loop(cond, body, init)
 
     x_star = jax.lax.dynamic_index_in_dim(X, last_k % m, axis=1,
                                           keepdims=False)
     # Call indices consumed so far: 0..last_k when the loop ran, else {0, 1}.
     next_call = jnp.maximum(last_k + 1, 2)
     info = FPInfo(residual=res, iterations=last_k,
-                  next_call=next_call, converged=done)
+                  next_call=next_call, converged=done, trace=trace)
     return unflatten(x_star), info
 
 

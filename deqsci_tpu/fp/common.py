@@ -26,12 +26,13 @@ import jax.numpy as jnp
 
 
 class FPInfo(NamedTuple):
-    """Solver diagnostics, all on-device scalars."""
+    """Solver diagnostics, all on-device scalars (plus optional trace)."""
 
     residual: jnp.ndarray      # final relative residual (f32 scalar)
     iterations: jnp.ndarray    # last executed iteration index (i32 scalar)
     next_call: jnp.ndarray     # call index for the next application of f
     converged: jnp.ndarray     # residual < tol at exit (bool scalar)
+    trace: Any = None          # (max_iter,) residual curve if recorded
 
 
 def batch_flatten(tree: Any):

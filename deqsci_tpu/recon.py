@@ -25,20 +25,27 @@ from deqsci_tpu.ops.sensing import initial_point, phi_sum
 
 
 def make_reconstructor(step: Callable, solver: Callable = anderson,
+                       init_fn: Callable = initial_point,
+                       output_fn: Callable = lambda z: z,
                        **solver_kwargs):
     """Build ``recon(params, meas, Phi) -> frames``.
 
     ``meas``: (S, H, W) snapshots of one clip; ``Phi``: (H, W, T) shared
     mask. Returns (S, H, W, T) reconstructed frames. Each snapshot is an
     independent bsz-1 DEQ solve, exactly as the reference's per-``fi`` loop.
+
+    ``init_fn(y, Phi)`` builds the initial carry (``initial_point_admm``
+    for the two-tensor ADMM carry) and ``output_fn`` extracts the frame
+    estimate from the final carry (``lambda c: c[0]`` for ADMM).
     """
     deq = make_deq(step, solver=solver, **solver_kwargs)
 
     def recon_one(params: Any, y: jnp.ndarray, Phi: jnp.ndarray,
                   Phi_s: jnp.ndarray) -> jnp.ndarray:
         yb, Phib, Psb = y[None], Phi[None], Phi_s[None]
-        z0 = initial_point(yb, Phib)
-        return deq(params, z0, (yb, Phib, Psb))[0]
+        z0 = init_fn(yb, Phib)
+        out = output_fn(deq(params, z0, (yb, Phib, Psb)))
+        return out[0]
 
     @partial(jax.jit, static_argnums=())
     def recon(params: Any, meas: jnp.ndarray, Phi: jnp.ndarray) -> jnp.ndarray:
@@ -46,4 +53,15 @@ def make_reconstructor(step: Callable, solver: Callable = anderson,
         return jax.vmap(recon_one, in_axes=(None, 0, None, None))(
             params, meas, Phi, Phi_s)
 
+    @partial(jax.jit, static_argnums=())
+    def recon_multi(params: Any, meas: jnp.ndarray,
+                    Phi: jnp.ndarray) -> jnp.ndarray:
+        """Per-lane masks: meas (B, H, W) with Phi (B, H, W, T) — lets
+        snapshots from *different clips* (different masks) batch into one
+        XLA program. Throughput path: a whole benchmark suite is one solve."""
+        Phi_s = phi_sum(Phi)
+        return jax.vmap(recon_one, in_axes=(None, 0, 0, 0))(
+            params, meas, Phi, Phi_s)
+
+    recon.multi = recon_multi
     return recon

@@ -1,0 +1,124 @@
+"""Denoiser pretraining: generic noise2clean + the FFDNet recipe.
+
+Rebuilds two reference subsystems:
+
+* ``train_denoiser`` — training/denoiser_training.py:25-125: per batch
+  ``y = x + sigma*eps``; MSE(net(y), x) for direct denoisers or
+  MSE(net(y), eps*sigma) for noise-predicting ones; Adam; periodic ckpt.
+* ``train_ffdnet`` — networks/ffdnet/train.py:36-234 (Tassano kit):
+  per-batch random sigma in [0, 75]/255, FFDNet predicts the noise,
+  ``MSE(out, noise)/2`` loss, optional per-epoch SVD orthogonalization of
+  all intermediate 3x3 conv kernels (utils.py:196-257: replace each
+  kernel's matrix factor by the nearest orthonormal matrix U V^T).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from deqsci_tpu.train.metrics import psnr
+
+
+def svd_orthogonalization(params: Dict) -> Dict:
+    """Replace every conv kernel, reshaped (kh*kw*ci, co), by its nearest
+    semi-orthogonal factor U V^T — the reference applies this to every Conv
+    layer with no shape exclusions (networks/ffdnet/utils.py:196-225; the
+    HWIO flatten order here matches its permute(2,3,1,0) flatten)."""
+    def orth(leaf_path, kernel):
+        if kernel.ndim != 4:
+            return kernel
+        kh, kw, ci, co = kernel.shape
+        mat = kernel.reshape(kh * kw * ci, co)
+        u, _, vt = jnp.linalg.svd(mat, full_matrices=False)
+        return (u @ vt).reshape(kernel.shape)
+
+    return jax.tree_util.tree_map_with_path(orth, params)
+
+
+def make_denoiser_train_step(apply_fn: Callable, optimizer,
+                             noise_sigma: float,
+                             residual: bool = False):
+    """Generic pretraining step: fixed sigma, noise2clean (or noise) MSE."""
+
+    def loss_fn(params, x, eps):
+        y = x + noise_sigma * eps
+        out = apply_fn(params, y)
+        target = noise_sigma * eps if residual else x
+        return jnp.mean((out - target) ** 2)
+
+    @jax.jit
+    def step(params, opt_state, x, key):
+        eps = jax.random.normal(key, x.shape, x.dtype)
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, eps)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def make_ffdnet_train_step(net, optimizer,
+                           sigma_range=(0.0, 75.0 / 255.0)):
+    """FFDNet step: per-sample random sigma, predict the noise.
+
+    Trains BatchNorm properly: batch statistics in the forward pass,
+    running averages threaded through as mutable state (torch-equivalent
+    train/eval semantics)."""
+
+    def loss_fn(params, batch_stats, x, eps, sigma):
+        noise = sigma[:, None, None, None] * eps
+        out, mutated = net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x + noise, sigma, train=True, mutable=["batch_stats"])
+        return jnp.mean((out - noise) ** 2) / 2.0, mutated["batch_stats"]
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, x, key):
+        k1, k2 = jax.random.split(key)
+        eps = jax.random.normal(k1, x.shape, x.dtype)
+        sigma = jax.random.uniform(k2, (x.shape[0],), x.dtype,
+                                   sigma_range[0], sigma_range[1])
+        (loss, batch_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, x, eps, sigma)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), batch_stats,
+                opt_state, loss)
+
+    return step
+
+
+def train_ffdnet(net, variables: Dict, patch_epochs: Iterable,
+                 *, lr: float = 1e-3, orthogonalize: bool = True,
+                 val_fn: Optional[Callable] = None,
+                 log_every: int = 50) -> Dict:
+    """Run the FFDNet pretraining loop over an iterable of epochs, each an
+    iterable of (N, p, p, 1) numpy batches. ``variables`` is the full flax
+    tree {'params', 'batch_stats'}; returns the trained tree."""
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+    step = make_ffdnet_train_step(net, optimizer)
+    key = jax.random.key(0)
+    it = 0
+    for epoch, batches in enumerate(patch_epochs):
+        for x in batches:
+            key, sub = jax.random.split(key)
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, jnp.asarray(x), sub)
+            if it % log_every == 0:
+                print(f"[ffdnet] epoch {epoch} it {it} "
+                      f"loss {float(loss):.6f}", flush=True)
+            it += 1
+        if orthogonalize:
+            params = svd_orthogonalization(params)
+        if val_fn is not None:
+            val_psnr = val_fn({"params": params,
+                               "batch_stats": batch_stats})
+            print(f"[ffdnet] epoch {epoch} val PSNR {val_psnr:.2f} dB",
+                  flush=True)
+    return {"params": params, "batch_stats": batch_stats}

@@ -54,17 +54,20 @@ class TrainState:
                 "epoch": self.epoch}
 
 
-def make_train_step(deq: Callable, optimizer) -> Callable:
+def make_train_step(deq: Callable, optimizer,
+                    init_fn: Callable = initial_point,
+                    output_fn: Callable = lambda z: z) -> Callable:
     """Build the jitted train step.
 
     ``deq(params, z0, (y, Phi, Phi_sum))`` is the DEQ forward with IFT
     gradients. The batch is ``(gt, y, Phi)``, all device arrays; with
     sharded inputs the gradient all-reduce is inserted by XLA.
+    ``init_fn``/``output_fn`` generalize to non-trivial carries (ADMM).
     """
 
     def loss_fn(params, gt, y, Phi, ps):
-        z0 = jax.lax.stop_gradient(initial_point(y, Phi))
-        rec = deq(params, z0, (y, Phi, ps))
+        z0 = jax.lax.stop_gradient(init_fn(y, Phi))
+        rec = output_fn(deq(params, z0, (y, Phi, ps)))
         return jnp.mean((rec - gt) ** 2), rec
 
     @jax.jit
@@ -89,6 +92,8 @@ def train_solver_sci(deq: Callable, params, dataset, *,
                      save_every_n_steps: int = 50,
                      print_every_n_steps: int = 1,
                      explosion_threshold: float = -10.0,
+                     init_fn: Callable = initial_point,
+                     output_fn: Callable = lambda z: z,
                      writer=None) -> Dict[str, Any]:
     """The full training loop with NaN-reset-from-checkpoint semantics.
 
@@ -98,7 +103,8 @@ def train_solver_sci(deq: Callable, params, dataset, *,
     """
     optimizer = make_optimizer(base_lr)
     opt_state = optimizer.init(params)
-    train_step = make_train_step(deq, optimizer)
+    train_step = make_train_step(deq, optimizer, init_fn=init_fn,
+                                 output_fn=output_fn)
     lr_of = steplr(base_lr, sched_step, lr_gamma)
 
     state = TrainState(params, opt_state, start_epoch)

@@ -1,0 +1,116 @@
+"""Pretrain a demo FFDNet and run the flagship DE-GAP-FFDNet path.
+
+The reference's models/ffdnet.ckpt is a stripped blob
+(.MISSING_LARGE_BLOBS:4) and this sandbox has no egress, so flagship-path
+weights must be trained here. Training data: 50x50 patches from the gray
+frames of the bundled benchmark clips' ground truth (the only natural
+images available). **The resulting PSNR numbers are therefore
+train-on-test demo numbers — they demonstrate the capability and the
+performance path, not scientific parity** (which for this config would
+need the original DAVIS-trained weights).
+
+Writes: models/ffdnet_demo/ (orbax) and prints benchmark PSNRs.
+Usage: python scripts/train_ffdnet_demo.py [--steps N]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REFERENCE = "/root/reference"
+TEST_DIR = os.path.join(REFERENCE, "data/test_gray")
+
+
+def gather_gt_frames():
+    from deqsci_tpu.data.sci_mat import SCITestDataset
+    frames = []
+    for data in SCITestDataset(TEST_DIR):
+        gt = data["gt"]  # (H, W, F)
+        for i in range(gt.shape[-1]):
+            frames.append(gt[..., i])
+    return frames
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--eval-maxiter", type=int, default=180)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from deqsci_tpu.data.patches import batch_iterator, build_patch_set
+    from deqsci_tpu.io.checkpoint import CheckpointManager
+    from deqsci_tpu.nets.ffdnet import FFDNet
+    from deqsci_tpu.train.denoiser import train_ffdnet
+    from deqsci_tpu.train.metrics import psnr
+
+    frames = gather_gt_frames()
+    print(f"{len(frames)} gt frames", flush=True)
+    patches = build_patch_set(frames, patch_size=50, stride=15,
+                              scales=(1.0, 0.85, 0.7), max_patches=60000)
+    # 8-fold dihedral augmentation (Tassano's kit augments per batch)
+    aug = [patches]
+    for k in (1, 2, 3):
+        aug.append(np.rot90(patches, k, axes=(1, 2)))
+    aug.append(patches[:, ::-1])
+    patches = np.ascontiguousarray(np.concatenate(aug, axis=0))
+    print(f"{len(patches)} training patches (augmented)", flush=True)
+    val = patches[:64]
+    train = patches[64:]
+
+    net = FFDNet(in_channels=1)
+    variables = net.init(jax.random.key(1), jnp.zeros((1, 50, 50, 1)),
+                         jnp.zeros((1,)))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    def val_fn(v):
+        sigma = jnp.full((len(val),), 25.0 / 255.0)
+        key = jax.random.key(42)
+        noise = sigma[:, None, None, None] * jax.random.normal(
+            key, val.shape)
+        noisy = jnp.asarray(val) + noise
+        den = noisy - net.apply(v, noisy, sigma)
+        return float(psnr(jnp.clip(den, 0, 1), jnp.asarray(val)))
+
+    epochs = (batch_iterator(train, args.batch, seed=e)
+              for e in range(args.epochs))
+    t0 = time.time()
+    variables = train_ffdnet(net, variables, epochs, lr=args.lr,
+                             orthogonalize=True, val_fn=val_fn,
+                             log_every=500)
+    print(f"training wall: {time.time() - t0:.0f}s", flush=True)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    mgr = CheckpointManager(os.path.join(repo, "models"))
+    mgr.save("ffdnet_demo", {"params": jax.tree.map(np.asarray, variables),
+                             "epoch": args.epochs - 1})
+    print("saved models/ffdnet_demo", flush=True)
+    params = variables
+
+    # flagship inference
+    from deqsci_tpu.data.sci_mat import SCITestDataset
+    from deqsci_tpu.maps.gap_sci import make_gap_sci_step
+    from deqsci_tpu.recon import make_reconstructor
+    from deqsci_tpu.train.eval import evaluate_dataset
+
+    step = make_gap_sci_step(lambda v, x, s: net.apply(v, x, s),
+                             tag="ffdnet")
+    recon = make_reconstructor(step, m=5, lam=1e-2, beta=1.0,
+                               max_iter=args.eval_maxiter, tol=1e-5)
+    summary = evaluate_dataset(recon, params, SCITestDataset(TEST_DIR),
+                               verbose=True)
+    print("DE-GAP-FFDNet (demo weights, train-on-test):",
+          f"{summary['avg_psnr']:.2f} dB", flush=True)
+
+
+if __name__ == "__main__":
+    main()
