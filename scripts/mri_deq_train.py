@@ -1,0 +1,111 @@
+"""MRI DEQ training driver — the upstream fixed-point experiment pattern.
+
+Rebuild of scripts/fixedpoint/mri_prox_fixedeta_pre_and.py:57-161: an 8x
+undersampled single-coil MRI operator with additive measurement noise, a
+DnCNN denoiser inside an EquilibriumProxGradMRI map, Anderson DEQ with IFT
+training. Runs on FastMRI h5 data when ``--datapath`` exists, otherwise on
+a synthetic phantom set (smoke mode) so the full path is exercisable in
+this sandbox.
+
+Usage: python scripts/mri_deq_train.py [--datapath DIR] [--steps N]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synthetic_phantoms(n, size, seed=0):
+    rng = np.random.default_rng(seed)
+    xs = []
+    for _ in range(n):
+        img = np.zeros((size, size), np.float32)
+        for _ in range(rng.integers(3, 8)):
+            cx, cy = rng.uniform(-0.6, 0.6, 2)
+            r = rng.uniform(0.1, 0.4)
+            a = rng.uniform(0.2, 1.0)
+            yy, xx = np.meshgrid(np.linspace(-1, 1, size),
+                                 np.linspace(-1, 1, size))
+            img += a * (((xx - cx) ** 2 + (yy - cy) ** 2) < r ** 2)
+        img = img / max(img.max(), 1e-6)
+        xs.append(np.stack([img, np.zeros_like(img)], -1))
+    return np.stack(xs)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datapath", default="")
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--accel", type=float, default=8.0)
+    ap.add_argument("--center_frac", type=float, default=0.04)
+    ap.add_argument("--noise_sigma", type=float, default=0.01)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from deqsci_tpu.fp.deq import make_deq
+    from deqsci_tpu.maps.proxgrad import make_proxgrad_step
+    from deqsci_tpu.nets.dncnn import DnCNN
+    from deqsci_tpu.ops.mri import cartesian_single_coil_mri, create_mask
+
+    if args.datapath and os.path.isdir(args.datapath):
+        from deqsci_tpu.data.images import FastMRIDataset
+        ds = FastMRIDataset(args.datapath, crop=args.size)
+        data = np.stack([ds[i] for i in range(min(len(ds), 64))])
+    else:
+        print("no FastMRI data; using synthetic phantoms (smoke mode)",
+              flush=True)
+        data = synthetic_phantoms(32, args.size)
+
+    mask = create_mask((args.size, args.size), args.center_frac, args.accel)
+    op = cartesian_single_coil_mri(mask, h=args.size, w=args.size)
+
+    net = DnCNN(channels=2, num_layers=6, use_bn=False)
+    variables = net.init(jax.random.key(0),
+                         jnp.zeros((1, args.size, args.size, 2)))
+    # 2-channel residual denoiser inside the prox-grad map, fixed eta=0.4
+    denoise = lambda p, x: net.apply(p, x)
+    step = make_proxgrad_step(op, denoise, minval=-1.0, maxval=1.0)
+    deq = make_deq(step, m=5, lam=1e-4, max_iter=40, tol=1e-4)
+
+    params = {"eta": jnp.float32(0.4), "net": variables}
+    optimizer = optax.adam(args.lr)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, x, key):
+        y = op.forward(x)
+        y = y + args.noise_sigma * jax.random.normal(key, y.shape)
+
+        def loss_fn(p):
+            z0 = jax.lax.stop_gradient(op.adjoint(y))
+            rec = deq(p, z0, y)
+            return jnp.mean((rec - x) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.key(1)
+    rng = np.random.default_rng(0)
+    for it in range(args.steps):
+        idx = rng.choice(len(data), args.batch, replace=False)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(
+            params, opt_state, jnp.asarray(data[idx]), sub)
+        if it % 5 == 0:
+            print(f"step {it} loss {float(loss):.6f} "
+                  f"eta {float(params['eta']):.4f}", flush=True)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
