@@ -61,3 +61,21 @@ def batch_iterator(data: np.ndarray, batch_size: int, seed: int = 0,
         np.random.default_rng(seed).shuffle(idx)
     for i in range(0, len(idx) - batch_size + 1, batch_size):
         yield data[idx[i:i + batch_size]]
+
+
+def batch_patch_swap(batch: np.ndarray, patch_size: int, n_swaps: int = 1,
+                     seed: int = 0) -> np.ndarray:
+    """Augmentation from utils/sci_dataloader.py:13-62: swap random
+    same-location square patches between pairs of samples in a batch."""
+    out = batch.copy()
+    rng = np.random.default_rng(seed)
+    n, h, w = batch.shape[:3]
+    for _ in range(n_swaps):
+        a, b = rng.choice(n, 2, replace=False)
+        i = rng.integers(0, h - patch_size + 1)
+        j = rng.integers(0, w - patch_size + 1)
+        tmp = out[a, i:i + patch_size, j:j + patch_size].copy()
+        out[a, i:i + patch_size, j:j + patch_size] = \
+            out[b, i:i + patch_size, j:j + patch_size]
+        out[b, i:i + patch_size, j:j + patch_size] = tmp
+    return out
