@@ -91,6 +91,34 @@ def make_ffdnet_train_step(net, optimizer,
     return step
 
 
+def recalibrate_batch_stats(net, variables: Dict, batches: Iterable,
+                            sigma_range=(0.0, 75.0 / 255.0),
+                            seed: int = 123) -> Dict:
+    """Refresh BatchNorm running averages with forward passes in train mode
+    (no gradient). Needed after parameter transforms (SVD orthogonalization)
+    invalidate the statistics the running averages were tracking."""
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+    key = jax.random.key(seed)
+
+    @jax.jit
+    def fwd(batch_stats, x, key):
+        k1, k2 = jax.random.split(key)
+        eps = jax.random.normal(k1, x.shape, x.dtype)
+        sigma = jax.random.uniform(k2, (x.shape[0],), x.dtype,
+                                   sigma_range[0], sigma_range[1])
+        _, mutated = net.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x + sigma[:, None, None, None] * eps, sigma,
+            train=True, mutable=["batch_stats"])
+        return mutated["batch_stats"]
+
+    for x in batches:
+        key, sub = jax.random.split(key)
+        batch_stats = fwd(batch_stats, jnp.asarray(x), sub)
+    return {"params": params, "batch_stats": batch_stats}
+
+
 def train_ffdnet(net, variables: Dict, patch_epochs: Iterable,
                  *, lr: float = 1e-3, orthogonalize: bool = True,
                  val_fn: Optional[Callable] = None,

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval-maxiter", type=int, default=180)
+    ap.add_argument("--orthog", action="store_true",
+                    help="per-epoch SVD orthogonalization (the Tassano kit "
+                    "regularizer; hurts at this tiny data scale)")
     args = ap.parse_args()
 
     import jax
@@ -85,8 +88,14 @@ def main():
               for e in range(args.epochs))
     t0 = time.time()
     variables = train_ffdnet(net, variables, epochs, lr=args.lr,
-                             orthogonalize=True, val_fn=val_fn,
+                             orthogonalize=args.orthog, val_fn=val_fn,
                              log_every=500)
+    from deqsci_tpu.train.denoiser import recalibrate_batch_stats
+    variables = recalibrate_batch_stats(
+        net, variables, batch_iterator(train[:args.batch * 100],
+                                       args.batch, shuffle=False))
+    print(f"post-recalibration val PSNR {val_fn(variables):.2f} dB",
+          flush=True)
     print(f"training wall: {time.time() - t0:.0f}s", flush=True)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
