@@ -43,21 +43,22 @@ def main():
             meas = meas[:1]
         clips.append((jnp.asarray(meas), jnp.asarray(data["mask"])))
 
-    # compile + warm-up
-    import jax
-    jax.block_until_ready([recon(variables, meas, mask)
-                           for meas, mask in clips])
+    # compile + warm-up (float() forces a real device->host sync; on some
+    # tunnel runtimes block_until_ready returns before execution retires)
+    import jax.numpy as _jnp
+    for meas, mask in clips:
+        float(_jnp.sum(recon(variables, meas, mask)))
 
     n_rounds = 3
     t0 = time.time()
     frames = 0
-    outs = []
+    checksum = _jnp.float32(0)
     for _ in range(n_rounds):
         for meas, mask in clips:
             out = recon(variables, meas, mask)
-            outs.append(out)
+            checksum = checksum + _jnp.sum(out)
             frames += out.shape[0] * out.shape[-1]
-    jax.block_until_ready(outs)
+    float(checksum)  # single synchronizing read after all work
     dt = time.time() - t0
     fps = frames / dt
 

@@ -20,20 +20,38 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from deqsci_tpu.ops.pallas.small_conv import conv3x3_small_cout_stencil
+
+
+class StencilHeadConv(nn.Module):
+    """3x3 bias-free conv for heads with few output channels, computed as
+    a static-slice VPU stencil — ~1.7x faster than the MXU conv at Cout=1
+    (see ops/pallas/small_conv.py). Param tree identical to nn.Conv's."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features))
+        return conv3x3_small_cout_stencil(x, kernel)
+
 
 class DnCNN(nn.Module):
     """Bias-free conv stack: conv-relu, (layers-2) x [conv (bn) relu], conv.
 
-    ``precision`` defaults to 'highest' (full fp32 on the MXU): the DEQ runs
-    O(100) amplifying iterations through this net, and TPU-default bf16
-    convs cost ~2 dB PSNR on the benchmarks (measured; see PARITY.md).
+    Precision policy (measured on drop8, 100 DEQ iterations — PARITY.md):
+    TPU-default bf16 convs cost ~1.9 dB; 'high' (3-pass bf16, fp32-rate
+    error) costs 0.001 dB at ~1.9x the speed of 'highest' (true fp32).
+    Default 'high'; use 'highest' for bitwise-level parity studies.
     """
 
     channels: int = 1
     features: int = 64
     num_layers: int = 4
     use_bn: bool = False
-    precision: str = "highest"
+    precision: str = "high"
+    fast_head: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -48,4 +66,7 @@ class DnCNN(nn.Module):
                                  momentum=0.9, epsilon=1e-5,
                                  name=f"bn{i}")(x)
             x = nn.relu(x)
-        return conv(self.channels, f"conv{self.num_layers - 1}")(x)
+        head = f"conv{self.num_layers - 1}"
+        if self.fast_head and self.channels <= 8:
+            return StencilHeadConv(self.channels, name=head)(x)
+        return conv(self.channels, head)(x)

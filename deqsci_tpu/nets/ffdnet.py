@@ -42,12 +42,13 @@ def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
 class FFDNet(nn.Module):
     """Predicts the noise in ``x`` at level ``sigma`` (per-sample scalar).
 
-    ``precision='highest'`` keeps convs in full fp32 — required for DEQ
-    fixed-point parity (see nets/dncnn.py note).
+    Conv precision defaults to 'high' (fp32-rate accuracy at ~2x 'highest'
+    speed; TPU-default bf16 diverges the fixed point — see nets/dncnn.py).
     """
 
     in_channels: int = 1
-    precision: str = "highest"
+    precision: str = "high"
+    fast_head: bool = True
 
     @property
     def _cfg(self):
@@ -77,5 +78,10 @@ class FFDNet(nn.Module):
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"bn{i}")(y)
             y = nn.relu(y)
-        y = conv(cfg["out_ch"], f"conv{cfg['layers'] - 1}")(y)
+        head = f"conv{cfg['layers'] - 1}"
+        if self.fast_head:
+            from deqsci_tpu.nets.dncnn import StencilHeadConv
+            y = StencilHeadConv(cfg["out_ch"], name=head)(y)
+        else:
+            y = conv(cfg["out_ch"], head)(y)
         return depth_to_space(y)

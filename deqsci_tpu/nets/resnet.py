@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 class ResidualBlock(nn.Module):
     features: int
-    precision: str = "highest"
+    precision: str = "high"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -31,7 +31,7 @@ class NBlockResNet(nn.Module):
     out_chans: int = 1
     n_residual_blocks: int = 2
     features: int = 128
-    precision: str = "highest"
+    precision: str = "high"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 class ConvBlock(nn.Module):
     out_chans: int
     conv3d: bool = False
-    precision: str = "highest"
+    precision: str = "high"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -46,7 +46,7 @@ class ConvBlock(nn.Module):
 class TransposeConvBlock(nn.Module):
     out_chans: int
     conv3d: bool = False
-    precision: str = "highest"
+    precision: str = "high"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -96,7 +96,7 @@ class UNet(nn.Module):
     num_pool_layers: int = 4
     conv3d: bool = False
     final_clamp: bool = False
-    precision: str = "highest"
+    precision: str = "high"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:

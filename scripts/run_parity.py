@@ -151,6 +151,10 @@ def main():
                          f"{os.cpu_count()} threads). "
                          f"Speedup: {t['frames_per_s'] / o['frames_per_s']:.1f}x.")
         lines.append("")
+    extra = os.path.join(repo, "PARITY_ffdnet.md")
+    if os.path.exists(extra):
+        with open(extra) as f:
+            lines.append(f.read())
     with open(os.path.join(repo, "PARITY.md"), "w") as f:
         f.write("\n".join(lines))
     print("wrote PARITY.md and BASELINE_MEASURED.json", flush=True)
