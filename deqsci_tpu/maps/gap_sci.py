@@ -79,6 +79,11 @@ class GapSCI:
     tag: str
     sigma0: float = 60.0 / 255.0
     sigma_decay: float = 0.971
+    # optional floor for the decayed sigma. The reference decays without
+    # bound (sigma -> 1e-3 by iter 180); denoisers that are not contractive
+    # at tiny sigma make the GAP iteration diverge there. None = reference
+    # semantics.
+    sigma_min: float = None
 
     def __post_init__(self):
         if self.tag not in ALL_TAGS:
@@ -100,6 +105,8 @@ class GapSCI:
             x = frames_to_batch(z)
             sigma = self.sigma0 * jnp.power(
                 jnp.asarray(self.sigma_decay, z.dtype), k.astype(z.dtype))
+            if self.sigma_min is not None:
+                sigma = jnp.maximum(sigma, self.sigma_min)
             sigma = jnp.full((x.shape[0],), sigma, dtype=z.dtype)
             noise = self.denoise(params, x, sigma)
             return z - batch_to_frames(noise, b)

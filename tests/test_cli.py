@@ -1,0 +1,34 @@
+"""CLI: flag parsing quirks and solver-option plumbing."""
+
+from deqsci_tpu.cli.video_sci import build_parser
+
+
+def test_inference_truthy_string_quirk():
+    """Any non-empty --inference value is truthy, including 'False'
+    (reference video_sci_proxgrad.py:45,55)."""
+    p = build_parser()
+    assert bool(p.parse_args(["--inference", "False"]).inference) is True
+    assert bool(p.parse_args(["--inference", "True"]).inference) is True
+    assert bool(p.parse_args([]).inference) is False
+
+
+def test_string_int_flags():
+    p = build_parser()
+    args = p.parse_args(["--n_epochs", "80", "--and_maxiters", "180"])
+    assert int(args.n_epochs) == 80
+    assert int(args.and_maxiters) == 180
+
+
+def test_defaults_match_reference():
+    a = build_parser().parse_args([])
+    assert a.and_m == 5 and a.and_beta == 1.0
+    assert a.lr == 1e-4 and a.lr_gamma == 0.9 and a.sched_step == 10
+    assert a.denoiser == "ffdnet"
+    assert a.sci_solver == "gap"
+
+
+def test_sigma_rewrites_loadpath_contract():
+    a = build_parser().parse_args(["--sigma", "15",
+                                   "--denoiser", "RealSN_DnCNN"])
+    assert a.sigma == 15  # path rewrite happens in main(), matching
+    # the reference's Pretrained_models/{denoiser}_noise{sigma}.pth scheme
