@@ -1,0 +1,68 @@
+"""IO: orbax checkpoint round trip; .mat loader semantics on real files."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deqsci_tpu.io.checkpoint import CheckpointManager
+from tests.conftest import REFERENCE_ROOT, has_reference
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    mgr = CheckpointManager(str(tmp_path / "ckpts"))
+    snap = {"params": {"w": rng.random((4, 4)).astype(np.float32),
+                       "b": rng.random((4,)).astype(np.float32)},
+            "opt_state": {"count": np.int32(7)},
+            "epoch": 3}
+    mgr.save("best", snap)
+    assert mgr.exists("best")
+
+    out = mgr.restore("best")
+    np.testing.assert_array_equal(out["params"]["w"], snap["params"]["w"])
+    assert int(out["epoch"]) == 3
+
+    # the reference's resume semantics: weights + epoch, not the optimizer
+    out2 = mgr.restore("best", with_optimizer=False)
+    assert "opt_state" not in out2
+
+
+@pytest.mark.skipif(not has_reference(), reason="no reference checkout")
+def test_load_test_data_matches_scipy():
+    """Loader output must match direct scipy reads with /255 scaling."""
+    import scipy.io as sio
+    from deqsci_tpu.data.sci_mat import load_test_data
+
+    path = os.path.join(REFERENCE_ROOT, "data/test_gray/drop8_cacti.mat")
+    got = load_test_data(path)
+    raw = sio.loadmat(path)
+    np.testing.assert_allclose(got["gt"], np.float32(raw["orig"]) / 255)
+    np.testing.assert_allclose(got["meas"], np.float32(raw["meas"]) / 255)
+    np.testing.assert_array_equal(got["mask"], np.float32(raw["mask"]))
+    assert got["mask"].shape == (256, 256, 8)
+
+
+@pytest.mark.skipif(not has_reference(), reason="no reference checkout")
+def test_training_dataset_layout(tmp_path):
+    """SCITrainingDataset reads the synthesized DAVIS-style layout."""
+    import subprocess
+    import sys
+    out = tmp_path / "train"
+    r = subprocess.run(
+        [sys.executable, "scripts/make_sci_train_data.py", "--out",
+         str(out)], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr
+
+    from deqsci_tpu.data.sci_mat import SCITrainingDataset
+    ds = SCITrainingDataset(str(out / "gt"), str(out / "measurement"),
+                            str(out / "mask.mat"))
+    assert len(ds) == 8  # 64 gt frames / 8
+    s = ds[0]
+    assert s["gt"].shape == (256, 256, 8)
+    assert s["meas"].shape == (256, 256)
+    # measurement consistency: meas == sum(gt * mask)
+    np.testing.assert_allclose(
+        s["meas"], np.sum(s["gt"] * s["mask"], -1), rtol=1e-4, atol=1e-4)
