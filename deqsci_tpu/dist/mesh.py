@@ -62,3 +62,19 @@ def shard_batch(mesh: Mesh, batch):
     return (jax.device_put(gt, video_sharding(mesh)),
             jax.device_put(y, measurement_sharding(mesh)),
             jax.device_put(Phi, video_sharding(mesh)))
+
+
+def process_shard(n: int, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None) -> range:
+    """Index range of the dataset slice this host should load.
+
+    Multi-host data parallelism: each process feeds its local devices its
+    contiguous shard; the global batch is assembled by the data-axis
+    sharding (gradient reductions ride DCN between hosts, ICI within).
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = n // pc
+    start = pi * per
+    end = n if pi == pc - 1 else start + per
+    return range(start, end)

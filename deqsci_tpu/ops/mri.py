@@ -117,3 +117,35 @@ def cartesian_single_coil_mri(mask, h: int = None, w: int = None
 
     return LinearOperator(forward=forward, adjoint=adjoint,
                           _gramian=gramian)
+
+
+def learnable_mri_operator(mask, h: int = None, w: int = None):
+    """The reference's learnable-DFT variants (utils/forward_models_mri.py:
+    432-633, ``subsampledKspace``/``zeroFillin``) expose the transform
+    matrices as trainable parameters. Our matmul-DFT representation IS
+    that form; this returns initial params + pure functions over them.
+
+    Returns ``(params, forward(params, x), adjoint(params, y))`` where
+    ``params = {'h_re','h_im','w_re','w_im','mask'}``.
+    """
+    m = np.asarray(mask, np.float32)
+    w = w if w is not None else m.shape[-1]
+    h = h if h is not None else (m.shape[-2] if m.ndim >= 2 and
+                                 m.shape[-2] > 1 else w)
+    hr, hi = centered_dft_matrix(h)
+    wr, wi = centered_dft_matrix(w)
+    params = {"h_re": jnp.asarray(hr), "h_im": jnp.asarray(hi),
+              "w_re": jnp.asarray(wr), "w_im": jnp.asarray(wi),
+              "mask": jnp.asarray(m)}
+
+    def forward(p, x):
+        mats = ((p["h_re"], p["h_im"]), (p["w_re"], p["w_im"]))
+        kr, ki = _fft2c(x[..., 0], x[..., 1], mats)
+        return jnp.stack([kr * p["mask"], ki * p["mask"]], axis=-1)
+
+    def adjoint(p, y):
+        mats = ((p["h_re"], p["h_im"]), (p["w_re"], p["w_im"]))
+        xr, xi = _ifft2c(y[..., 0] * p["mask"], y[..., 1] * p["mask"], mats)
+        return jnp.stack([xr, xi], axis=-1)
+
+    return params, forward, adjoint
