@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="iteration map: GAP prox-grad (reference default) "
                    "or ADMM (present-but-unwired upstream: "
                    "solvers/equilibrium_solvers_yaping.py:438-465)")
+    p.add_argument("--sigma_min", type=float, default=0.0,
+                   help="floor for the FFDNet sigma schedule in [0,255] "
+                   "units (0 = reference semantics: unbounded decay); "
+                   "stabilizes long solves with denoisers that are not "
+                   "contractive at tiny sigma")
     return p
 
 
@@ -83,7 +88,10 @@ def main(argv=None):
         # (lines 414-451): gradients flow through the re-attach step only
         deq_kw = dict(backward="passthrough")
     else:
-        step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag)
+        gap_kw = {}
+        if args.sigma_min:
+            gap_kw["sigma_min"] = float(args.sigma_min) / 255.0
+        step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag, **gap_kw)
         recon_kw = {}
         deq_kw = {}
 

@@ -30,7 +30,9 @@ def _load_raw(path: str) -> Dict[str, np.ndarray]:
     try:
         file = sio.loadmat(path)
         return {k: v for k, v in file.items() if not k.startswith("__")}
-    except NotImplementedError:
+    except (NotImplementedError, ValueError):
+        # v7.3 (scipy raises NotImplementedError with the MATLAB userblock,
+        # ValueError on a bare HDF5 file)
         import h5py
         with h5py.File(path, "r") as f:
             # MATLAB v7.3 stores column-major; transpose restores the
