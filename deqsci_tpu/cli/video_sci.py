@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 
 def build_parser() -> argparse.ArgumentParser:

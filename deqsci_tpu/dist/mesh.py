@@ -24,7 +24,6 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
-import numpy as np
 from jax.experimental import mesh_utils
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

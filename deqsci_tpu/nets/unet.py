@@ -22,7 +22,7 @@ Layout: NHWC (2-D) / NDHWC (3-D, D = frames).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+
 
 import flax.linen as nn
 import jax.numpy as jnp

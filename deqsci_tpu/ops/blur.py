@@ -16,7 +16,6 @@ Rebuild of operators/blurs.py:9-74 in NHWC:
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Reproduces ``test_solver_sci`` (training/sci_equilibrium_training.py:152-205):
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ and the reference's Adam + StepLR recipe (video_sci_proxgrad.py:201-202):
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, Optional
 
 import jax
