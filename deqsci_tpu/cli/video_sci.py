@@ -152,10 +152,30 @@ def main(argv=None):
 
     # training
     deq = make_deq(step, **deq_kw, **solver_kw)
-    dataset = SCITrainingDataset(
+    base_dataset = SCITrainingDataset(
         os.path.join(args.trainpath, "gt/"),
         os.path.join(args.trainpath, "measurement/"),
         os.path.join(args.trainpath, "mask.mat"))
+
+    if int(args.batch_size) > 1:
+        bs = int(args.batch_size)
+
+        class _Batched:
+            """Collate bs consecutive samples (drop_last, like the
+            reference's DataLoader(drop_last=True))."""
+
+            def __iter__(self):
+                buf = []
+                for s in base_dataset:
+                    buf.append(s)
+                    if len(buf) == bs:
+                        yield {k: np.stack([b[k] for b in buf])
+                               for k in ("gt", "meas", "mask")}
+                        buf = []
+
+        dataset = _Batched()
+    else:
+        dataset = base_dataset
     test_ds = SCITestDataset(args.testpath)
     recon = make_reconstructor(step, **recon_kw, **solver_kw)
 

@@ -133,10 +133,12 @@ def train_solver_sci(deq: Callable, params, dataset, *,
         previous_loss = None
         loss_v = np.nan
         for ii, sample in enumerate(dataset):
-            gt = jnp.asarray(sample["gt"])[None]
-            y = jnp.asarray(sample["meas"])[None]
-            Phi = jnp.asarray(sample["mask"])[None]
-            cur_nimg += 1
+            gt = jnp.asarray(sample["gt"])
+            y = jnp.asarray(sample["meas"])
+            Phi = jnp.asarray(sample["mask"])
+            if gt.ndim == 3:  # unbatched sample -> bsz 1
+                gt, y, Phi = gt[None], y[None], Phi[None]
+            cur_nimg += gt.shape[0]
 
             p, o, loss, batch_psnr = train_step(
                 state.params, state.opt_state, gt, y, Phi)
