@@ -6,10 +6,12 @@ Why: XLA lowers convs to MXU matmuls with the output-channel dim on the
 layer) wastes >99% of the MXU and measures ~4 ms per DEQ iteration at
 (8, 256, 256, 64), as slow as the 64->64 body convs (measured, v5e).
 
-``conv3x3_small_cout_stencil`` reformulates the head as 9 static-slice
-VPU einsums — 2.36 ms/iter vs 4.03 ms for the HIGH-precision conv on the
-same shape (measured), pure XLA, differentiable. This is the production
-path (nets use it for heads with few output channels).
+``conv3x3_small_cout_depthwise`` decomposes the head exactly into a
+depthwise 3x3 conv (per-channel, VPU-friendly) followed by a channel
+reduction — 1.60 ms/iter vs 2.36 for the 9-offset static-slice stencil
+(``conv3x3_small_cout_stencil``) and 4.03 for the plain conv (measured).
+This is the production path (nets use it for heads with few output
+channels).
 
 ``conv3x3_small_cout`` is the single-pass Pallas version (manual HBM->VMEM
 DMA + lane-reduction stencil, theoretically ~0.8 ms). It is correct in
@@ -29,6 +31,23 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def conv3x3_small_cout_depthwise(x: jnp.ndarray,
+                                 kernel: jnp.ndarray) -> jnp.ndarray:
+    """Exact decomposition: per-output-channel depthwise conv + channel
+    reduce. SAME 3x3, NHWC; kernel (3, 3, C, Co) with small Co."""
+    c = x.shape[-1]
+    outs = []
+    for o in range(kernel.shape[-1]):
+        kdw = jnp.transpose(kernel[:, :, :, o:o + 1], (0, 1, 3, 2))
+        dw = jax.lax.conv_general_dilated(
+            x, kdw, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST)
+        outs.append(jnp.sum(dw, axis=-1))
+    return jnp.stack(outs, axis=-1)
 
 
 def conv3x3_small_cout_stencil(x: jnp.ndarray,
