@@ -20,7 +20,22 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from deqsci_tpu.ops.pallas.small_conv import conv3x3_small_cout_depthwise
+from deqsci_tpu.ops.pallas.small_conv import (conv3x3_cin1_depthwise,
+                                              conv3x3_small_cout_depthwise)
+
+
+class FastInputConv(nn.Module):
+    """3x3 bias-free conv for a single-input-channel layer via the exact
+    broadcast+depthwise decomposition (ops/pallas/small_conv.py). Param
+    tree identical to nn.Conv's."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, x.shape[-1], self.features))
+        return conv3x3_cin1_depthwise(x, kernel)
 
 
 class StencilHeadConv(nn.Module):
@@ -59,7 +74,10 @@ class DnCNN(nn.Module):
         conv = lambda feats, name: nn.Conv(
             feats, (3, 3), padding="SAME", use_bias=False, name=name,
             precision=self.precision)
-        x = nn.relu(conv(self.features, "conv0")(x))
+        if self.fast_head and x.shape[-1] == 1:
+            x = nn.relu(FastInputConv(self.features, name="conv0")(x))
+        else:
+            x = nn.relu(conv(self.features, "conv0")(x))
         for i in range(1, self.num_layers - 1):
             x = conv(self.features, f"conv{i}")(x)
             if self.use_bn:

@@ -50,6 +50,22 @@ def conv3x3_small_cout_depthwise(x: jnp.ndarray,
     return jnp.stack(outs, axis=-1)
 
 
+def conv3x3_cin1_depthwise(x: jnp.ndarray,
+                           kernel: jnp.ndarray) -> jnp.ndarray:
+    """Exact 3x3 SAME conv for single-input-channel layers: broadcast the
+    input over the output channels and run one depthwise conv — 0.66 ms vs
+    1.15 ms for the MXU conv at (8, 256, 256, 1->64) (measured; the K=9
+    contraction wastes the systolic array). x (N, H, W, 1), kernel
+    (3, 3, 1, Co)."""
+    co = kernel.shape[-1]
+    xb = jnp.broadcast_to(x, x.shape[:-1] + (co,))
+    return jax.lax.conv_general_dilated(
+        xb, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=co,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def conv3x3_small_cout_stencil(x: jnp.ndarray,
                                kernel: jnp.ndarray) -> jnp.ndarray:
     """9-offset static-slice stencil; exact conv semantics (SAME, NHWC)."""
