@@ -139,11 +139,12 @@ def main(argv=None):
             print(f"{data['file']}  PSNR: {r['psnr']:.2f} dB  "
                   f"SSIM: {r['ssim']:.4f}", flush=True)
             rec = np.round(np.clip(r["recon"], 0, 1) * 255.0).astype(np.uint8)
+            n_t = rec.shape[-1]
             for fi in range(rec.shape[0]):
-                for t in range(rec.shape[-1]):
+                for t in range(n_t):
                     cv2.imwrite(os.path.join(
                         img_dir,
-                        f"{data['file']}_reconstruction_{fi * 8 + t}.png"),
+                        f"{data['file']}_reconstruction_{fi * n_t + t}.png"),
                         rec[fi, :, :, t])
         avg = float(np.mean(psnrs))
         print("---------------------------------",

@@ -44,8 +44,11 @@ def load_solver_state(path: str) -> Dict[str, np.ndarray]:
 
 
 def conv_kernel(w_oihw: np.ndarray) -> np.ndarray:
-    """OIHW -> HWIO."""
-    return np.ascontiguousarray(np.transpose(w_oihw, (2, 3, 1, 0)))
+    """torch (out, in, *spatial) -> flax (*spatial, in, out) — OIHW -> HWIO
+    for 2-D convs, OIDHW -> DHWIO for 3-D."""
+    nsp = w_oihw.ndim - 2
+    axes = tuple(range(2, 2 + nsp)) + (1, 0)
+    return np.ascontiguousarray(np.transpose(w_oihw, axes))
 
 
 def convert_sequential(sd: Dict[str, np.ndarray], prefix: str
@@ -104,6 +107,106 @@ def convert_dncnn(path: str, prefix: str = "nonlinear_op.dncnn"):
     sd = load_solver_state(path)
     params, stats, sn = convert_sequential(sd, prefix)
     return _variables(params, stats), sn
+
+
+def tconv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose weight -> flax ConvTranspose kernel.
+
+    torch stores (in, out, *spatial); flax ``nn.ConvTranspose``
+    (transpose_kernel=False) cross-correlates the dilated input with the
+    kernel as given, while torch's transposed conv convolves — so the
+    spatial axes must be flipped in addition to the (*spatial, in, out)
+    transpose. Verified exact vs torch for both the 2-D (2,2)/s2 and 3-D
+    (3,2,2)/s(1,2,2)/p(1,0,0) reference layouts
+    (networks/normalized_equilibrium_u_net_yaping.py:81,85).
+    """
+    nsp = w.ndim - 2
+    axes = tuple(range(2, 2 + nsp)) + (0, 1)
+    k = np.transpose(w, axes)
+    return np.ascontiguousarray(k[(slice(None, None, -1),) * nsp])
+
+
+def _conv_entry(entry: Dict[str, np.ndarray], transpose_conv: bool = False
+                ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    """One torch conv's tensors -> (flax params, sn triplet or {})."""
+    w = entry["weight"]  # SN layers: the stored, already-normalized weight
+    p = {"kernel": tconv_kernel(w) if transpose_conv else conv_kernel(w)}
+    if "bias" in entry:
+        p["bias"] = entry["bias"]
+    sn = ({"weight_orig": entry["weight_orig"], "weight_u": entry["weight_u"]}
+          if "weight_orig" in entry else {})
+    return p, sn
+
+
+def convert_unet(path: str, prefix: str = "nonlinear_op",
+                 num_pool_layers: int = 4):
+    """Convert a reference U-Net-family ckpt (UnetModel / UnetNorm / Unet3D,
+    networks/normalized_equilibrium_u_net_yaping.py:104-402) to the flax
+    ``nets.unet.UNet`` param tree.
+
+    All three variants share the module-name layout
+    ``down_sample_layers.{i}.layers.{0,2}`` / ``conv.layers.{0,2}`` /
+    ``up_transpose_conv.{i}.layers.0`` / ``up_conv.{i}.layers.{0,2}`` with
+    the LAST up_conv a Sequential of (ConvBlock, 1x1 head) keyed
+    ``up_conv.{L-1}.0.layers.{0,2}`` and ``up_conv.{L-1}.1``. SN-wrapped
+    convs store ``weight_orig/weight/weight_u``; the normalized ``weight``
+    is loaded (eval semantics) and the triplet returned as ``sn_state``.
+
+    Returns ``(variables, sn_state)``.
+    """
+    sd = load_solver_state(path)
+    keys = list(sd)
+    if not any(k.startswith(f"{prefix}.down_sample_layers.") for k in keys):
+        prefix = ""  # bare network state dict
+
+    def group(stem: str) -> Dict[str, np.ndarray]:
+        full = f"{prefix}.{stem}." if prefix else f"{stem}."
+        return {k[len(full):]: v for k, v in sd.items() if k.startswith(full)}
+
+    L = num_pool_layers
+    params: Dict[str, Any] = {}
+    sn: Dict[str, Any] = {}
+
+    def put(name: str, entry: Dict[str, np.ndarray], tconv: bool = False):
+        block, leaf = name.split("/")
+        p, s = _conv_entry(entry, transpose_conv=tconv)
+        params.setdefault(block, {})[leaf] = p
+        if s:
+            sn.setdefault(block, {})[leaf] = s
+
+    for i in range(L):
+        g = group(f"down_sample_layers.{i}.layers")
+        put(f"down{i}/conv0", {k[2:]: v for k, v in g.items()
+                               if k.startswith("0.")})
+        put(f"down{i}/conv1", {k[2:]: v for k, v in g.items()
+                               if k.startswith("2.")})
+    g = group("conv.layers")
+    put("bottleneck/conv0", {k[2:]: v for k, v in g.items()
+                             if k.startswith("0.")})
+    put("bottleneck/conv1", {k[2:]: v for k, v in g.items()
+                             if k.startswith("2.")})
+    for i in range(L):
+        g = group(f"up_transpose_conv.{i}.layers")
+        put(f"up_t{i}/tconv", {k[2:]: v for k, v in g.items()
+                               if k.startswith("0.")}, tconv=True)
+    for i in range(L - 1):
+        g = group(f"up_conv.{i}.layers")
+        put(f"up{i}/conv0", {k[2:]: v for k, v in g.items()
+                             if k.startswith("0.")})
+        put(f"up{i}/conv1", {k[2:]: v for k, v in g.items()
+                             if k.startswith("2.")})
+    g = group(f"up_conv.{L - 1}")
+    put(f"up{L - 1}/conv0", {k[len("0.layers.0."):]: v for k, v in g.items()
+                             if k.startswith("0.layers.0.")})
+    put(f"up{L - 1}/conv1", {k[len("0.layers.2."):]: v for k, v in g.items()
+                             if k.startswith("0.layers.2.")})
+    head = {k[2:]: v for k, v in g.items() if k.startswith("1.")}
+    hp, hs = _conv_entry(head)
+    params["head"] = hp
+    if hs:
+        sn["head"] = {"conv": hs}
+
+    return {"params": params}, sn
 
 
 def convert_ffdnet(path: str,

@@ -27,7 +27,7 @@ in ``EquilibriumProxGradSCI.forward``, unlike the generic maps at line 80).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
 
@@ -83,7 +83,7 @@ class GapSCI:
     # bound (sigma -> 1e-3 by iter 180); denoisers that are not contractive
     # at tiny sigma make the GAP iteration diverge there. None = reference
     # semantics.
-    sigma_min: float = None
+    sigma_min: Optional[float] = None
 
     def __post_init__(self):
         if self.tag not in ALL_TAGS:

@@ -52,10 +52,13 @@ class TransposeConvBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.conv3d:
             # torch ConvTranspose3d(kernel=(3,2,2), stride=(1,2,2),
-            # padding=(1,0,0)): depth preserved, H/W doubled
+            # padding=(1,0,0)): depth preserved, H/W exactly doubled.
+            # flax ConvTranspose explicit padding is subtractive relative
+            # to the fully-dilated output, so torch padding p maps to
+            # (k-1-p, k-1-p): depth (3,1) -> (1,1); H/W (2,0) -> (1,1).
             x = nn.ConvTranspose(self.out_chans, (3, 2, 2),
                                  strides=(1, 2, 2),
-                                 padding=((1, 1), (0, 0), (0, 0)),
+                                 padding=((1, 1), (1, 1), (1, 1)),
                                  use_bias=False, name="tconv",
                                  precision=self.precision)(x)
         else:

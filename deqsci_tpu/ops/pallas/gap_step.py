@@ -9,10 +9,11 @@ framework's channel-last (B, H, W, T) and inserts the two (cheap) layout
 transposes.
 
 This op is bandwidth-bound (~4 ops/byte below 1): the win over XLA is
-bounded by the saved memory passes. bench marks in tests/test_pallas.py
-compare against the jnp path; the reconstructor uses the jnp path unless
-``use_pallas=True`` is requested (SURVEY.md §7 step 9: Pallas kept only
-where it wins).
+bounded by the saved memory passes. Benchmarks in tests/test_pallas.py
+compare against the jnp path; the reconstructor always uses the jnp path —
+this kernel is benchmark/test-only and kept as the template for fused
+physics-step variants (SURVEY.md §7 step 9: Pallas kept only where it
+wins, and on the measured shapes XLA's fusion is at parity).
 """
 
 from __future__ import annotations
@@ -39,6 +40,7 @@ def gap_update_tmajor(z: jnp.ndarray, y: jnp.ndarray, Phi: jnp.ndarray,
                       interpret: bool = False) -> jnp.ndarray:
     """Frame-major single-sample update: z, Phi (T, H, W); y, Phi_sum (H, W)."""
     t, h, w = z.shape
+    assert h % tile_h == 0, (h, tile_h)
     grid = (h // tile_h,)
     spec3 = pl.BlockSpec((t, tile_h, w), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM)

@@ -63,27 +63,27 @@ def make_reconstructor(step: Callable, solver: Callable = anderson,
         return jax.vmap(recon_one, in_axes=(None, 0, 0, 0))(
             params, meas, Phi, Phi_s)
 
-    def recon_one_from(params, z0, y, Phi, Phi_s):
-        yb, Phib, Psb = y[None], Phi[None], Phi_s[None]
-        out = output_fn(deq(params, z0, (yb, Phib, Psb)))
-        return out
-
     @partial(jax.jit, static_argnums=())
     def recon_warm(params: Any, meas: jnp.ndarray,
                    Phi: jnp.ndarray) -> jnp.ndarray:
         """Sequential warm start: snapshot i's solve starts from snapshot
-        i-1's reconstruction. Opt-in deviation from the reference protocol
+        i-1's final carry. Opt-in deviation from the reference protocol
         (which always starts from At(y, Phi)). Measured on traffic with
         DE-GAP-CNN: quality -0.14 dB, wall ~neutral — the benchmark solves
         never reach tol within the iteration budget, so no early exit
-        fires. Useful only for workloads where solves do converge early."""
+        fires. Useful only for workloads where solves do converge early.
+
+        The raw deq output (which may be a multi-tensor carry, e.g. the
+        ADMM (z, u) pair) is threaded as the scan carry; ``output_fn``
+        only extracts the stacked per-snapshot frames."""
         Phi_s = phi_sum(Phi)
+        Phib, Psb = Phi[None], Phi_s[None]
 
-        def body(z_prev, y):
-            out = recon_one_from(params, z_prev, y, Phi, Phi_s)
-            return out, out[0]
+        def body(carry, y):
+            out = deq(params, carry, (y[None], Phib, Psb))
+            return out, output_fn(out)[0]
 
-        z0 = init_fn(meas[0][None], Phi[None])
+        z0 = init_fn(meas[0][None], Phib)
         _, frames = jax.lax.scan(body, z0, meas)
         return frames
 

@@ -14,7 +14,7 @@ Reproduces ``test_solver_sci`` (training/sci_equilibrium_training.py:152-205):
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -33,15 +33,22 @@ def snapshots_of(meas: np.ndarray) -> np.ndarray:
 
 
 def evaluate_file(recon: Callable, params, data: Dict[str, np.ndarray],
-                  frames_per_snapshot: int = 8,
+                  frames_per_snapshot: Optional[int] = None,
                   compute_ssim: bool = True) -> Dict[str, object]:
-    """Reconstruct one benchmark file and score it."""
+    """Reconstruct one benchmark file and score it.
+
+    ``frames_per_snapshot`` defaults to the mask's temporal depth
+    (``mask.shape[-1]``); the reference hardcodes 8
+    (training/sci_equilibrium_training.py:172,185) but the framework
+    supports arbitrary T.
+    """
     name = data.get("file", "")
     meas = snapshots_of(data["meas"])
     if any(p in name for p in FIRST_SNAPSHOT_ONLY):
         meas = meas[:1]
     s = meas.shape[0]
-    t = frames_per_snapshot
+    t = (frames_per_snapshot if frames_per_snapshot is not None
+         else data["mask"].shape[-1])
 
     rec = recon(params, jnp.asarray(meas), jnp.asarray(data["mask"]))
     gt = np.moveaxis(

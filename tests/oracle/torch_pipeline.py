@@ -121,6 +121,98 @@ class FFDNetOracle(nn.Module):
         return self
 
 
+class UNetOracle(nn.Module):
+    """Reference U-Net semantics (UnetModel / UnetNorm / Unet3D,
+    networks/normalized_equilibrium_u_net_yaping.py:104-402), restated:
+    down blocks (2x conv3x3-bias-free + LeakyReLU 0.2) with avg-pool,
+    bottleneck block, transpose-conv ups with reflect-pad odd-size fix,
+    skip concat, 1x1 head; optional clamp(-1,1). State-dict keys follow
+    the reference module names so the converter sees real layouts."""
+
+    def __init__(self, in_chans=1, out_chans=1, chans=8, num_pool_layers=3,
+                 conv3d=False, final_clamp=True):
+        super().__init__()
+        self.num_pool_layers = num_pool_layers
+        self.conv3d = conv3d
+        self.final_clamp = final_clamp
+        Conv = nn.Conv3d if conv3d else nn.Conv2d
+
+        def block(cin, cout):
+            return nn.Sequential(
+                Conv(cin, cout, 3, padding=1, bias=False),
+                nn.LeakyReLU(0.2),
+                Conv(cout, cout, 3, padding=1, bias=False),
+                nn.LeakyReLU(0.2))
+
+        def upblock(cin, cout):
+            if conv3d:
+                t = nn.ConvTranspose3d(cin, cout, (3, 2, 2),
+                                       stride=(1, 2, 2), padding=(1, 0, 0),
+                                       bias=False)
+            else:
+                t = nn.ConvTranspose2d(cin, cout, 2, stride=2, bias=False)
+            return nn.Sequential(t, nn.LeakyReLU(0.2))
+
+        # wrap blocks in a container with a `layers` child so state-dict
+        # keys match the reference's ConvBlock/TransposeConvBlock layout
+        class _Block(nn.Module):
+            def __init__(self, seq):
+                super().__init__()
+                self.layers = seq
+
+            def forward(self, x):
+                return self.layers(x)
+
+        named = _Block
+
+        self.down_sample_layers = nn.ModuleList(
+            [named(block(in_chans, chans))])
+        ch = chans
+        for _ in range(num_pool_layers - 1):
+            self.down_sample_layers.append(named(block(ch, ch * 2)))
+            ch *= 2
+        self.conv = named(block(ch, ch * 2))
+        self.up_transpose_conv = nn.ModuleList()
+        self.up_conv = nn.ModuleList()
+        for _ in range(num_pool_layers - 1):
+            self.up_transpose_conv.append(named(upblock(ch * 2, ch)))
+            self.up_conv.append(named(block(ch * 2, ch)))
+            ch //= 2
+        self.up_transpose_conv.append(named(upblock(ch * 2, ch)))
+        self.up_conv.append(nn.Sequential(
+            named(block(ch * 2, ch)), Conv(ch, out_chans, 1)))
+
+    def forward(self, x):
+        stack = []
+        out = x
+        pool = (tF.avg_pool3d if self.conv3d else tF.avg_pool2d)
+        ksz = (1, 2, 2) if self.conv3d else 2
+        for down in self.down_sample_layers:
+            out = down.layers(out)
+            stack.append(out)
+            out = pool(out, ksz)
+        out = self.conv.layers(out)
+        for t, c in zip(self.up_transpose_conv, self.up_conv):
+            skip = stack.pop()
+            out = (t.layers(out) if hasattr(t, "layers") else t(out))
+            if self.conv3d:
+                # the reference's Unet3D supports 2^n resolutions only
+                assert out.shape[-2:] == skip.shape[-2:]
+            else:
+                pad = [0, 0, 0, 0]
+                if out.shape[-1] != skip.shape[-1]:
+                    pad[1] = 1
+                if out.shape[-2] != skip.shape[-2]:
+                    pad[3] = 1
+                if sum(pad):
+                    out = tF.pad(out, pad, "reflect")
+            out = torch.cat([out, skip], dim=1)
+            out = (c.layers(out) if hasattr(c, "layers") else c(out))
+        if self.final_clamp:
+            out = torch.clamp(out, -1, 1)
+        return out
+
+
 # ----------------------------------------------------------- iteration map
 
 class GapSCIOracle:

@@ -21,6 +21,7 @@ def tiny_testdir(tmp_path, rng):
     return str(tmp_path)
 
 
+@pytest.mark.slow
 def test_cli_inference_e2e(tiny_testdir, tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

@@ -60,6 +60,7 @@ def test_sharded_matches_single_device(rng):
     np.testing.assert_allclose(float(psnr_sh), float(psnr_ref), rtol=1e-4)
 
 
+@pytest.mark.slow
 @needs_8
 def test_graft_dryrun():
     import __graft_entry__

@@ -19,6 +19,7 @@ needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
                              reason="needs 8 virtual devices")
 
 
+@pytest.mark.slow
 @needs_8
 def test_unet3d_frame_sharded_matches(rng):
     net = UNet(out_chans=1, chans=4, num_pool_layers=2, conv3d=True)

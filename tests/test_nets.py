@@ -45,7 +45,9 @@ def test_ffdnet_shapes(rng):
     assert out.shape == (4, 32, 32, 1)
 
 
-@pytest.mark.parametrize("conv3d", [False, True])
+@pytest.mark.parametrize(
+    "conv3d", [pytest.param(False, marks=pytest.mark.slow),
+               pytest.param(True, marks=pytest.mark.slow)])
 def test_unet_shapes(conv3d):
     net = UNet(out_chans=1, chans=8, num_pool_layers=3, conv3d=conv3d)
     shape = (1, 8, 32, 32, 1) if conv3d else (2, 32, 32, 1)
@@ -55,6 +57,7 @@ def test_unet_shapes(conv3d):
     assert out.shape == shape
 
 
+@pytest.mark.slow
 def test_unet_odd_size_reflect_pad():
     """48x42 inputs exercise the odd-size reflect-pad fix at every level."""
     net = UNet(out_chans=1, chans=4, num_pool_layers=4)
@@ -80,12 +83,15 @@ def test_resnet_mean_restore(rng):
     assert out.shape == x.shape
 
 
+_SLOW_ZOO = {"unet", "unet3d"}  # full-size U-Net compiles dominate runtime
 ALL_ZOO = ["unet", "unet3d", "unet_norm", "resnet", "dncnn_norm", "ffdnet",
            "unet3d_noise", "unetnorm_noise", "resnet_noise", "DnCNN",
            "SimpleCNN", "RealSN_DnCNN", "RealSN_SimpleCNN"]
 
 
-@pytest.mark.parametrize("name", ALL_ZOO)
+@pytest.mark.parametrize(
+    "name", [pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ZOO
+             else n for n in ALL_ZOO])
 def test_zoo_builds_and_applies(name):
     spec = build_denoiser(name)
     v = spec.init_variables(h=32, w=32, t=8)

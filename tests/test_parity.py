@@ -75,6 +75,7 @@ def test_rsn_cnn_conversion_parity(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gap_step_parity_on_drop8(drop8, torch_cnn, flax_cnn):
     """One full GAP+denoise step on real data matches the oracle."""
     import torch
@@ -105,6 +106,7 @@ def test_gap_step_parity_on_drop8(drop8, torch_cnn, flax_cnn):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_short_deq_parity_on_drop8(drop8, torch_cnn, flax_cnn):
     """8-iteration Anderson DEQ inference matches the oracle end to end."""
     import torch

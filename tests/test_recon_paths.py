@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deqsci_tpu.maps.gap_sci import make_gap_sci_step
 from deqsci_tpu.ops.sensing import A
@@ -33,6 +34,7 @@ def test_multi_matches_per_clip(rng):
         np.testing.assert_allclose(multi[i], solo, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_warm_start_runs_and_is_close(rng):
     recon, gt, Phi, y = _setup(rng)
     # same mask across snapshots for the sequential path

@@ -2,6 +2,7 @@
 training a RealSN-SimpleCNN through the DEQ (the reference's training mode,
 where conv-SN runs as a forward-pre-hook — here a per-step transform)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,7 @@ from deqsci_tpu.nets.sn import (conv_power_step, init_sn_state,
 from deqsci_tpu.ops.sensing import A, initial_point, phi_sum
 
 
+@pytest.mark.slow
 def test_sn_deq_training_keeps_lipschitz(rng):
     h = w = 16
     t = 8

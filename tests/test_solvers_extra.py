@@ -71,3 +71,33 @@ def test_deq_with_broyden_gradients(rng):
     g_u = jax.grad(loss_unrolled)({"W": W})
     np.testing.assert_allclose(np.asarray(g["W"]), np.asarray(g_u["W"]),
                                rtol=5e-3, atol=5e-4)
+
+
+def test_broyden_armijo_converges(rng):
+    """ls=True still solves a well-behaved contraction exactly."""
+    M, b = _contraction(rng)
+    f = lambda z, k: z @ jnp.asarray(M).T + jnp.asarray(b)
+    z, info = jax.jit(lambda x: broyden(f, x, threshold=40, eps=1e-6,
+                                        ls=True))(jnp.zeros((2, M.shape[0])))
+    z_true = np.linalg.solve(np.eye(M.shape[0]) - M, b)
+    np.testing.assert_allclose(np.asarray(z), np.broadcast_to(z_true, z.shape),
+                               rtol=1e-3, atol=1e-4)
+    assert bool(info.converged)
+
+
+def test_broyden_armijo_damps_overshoot(rng):
+    """On a stiff nonlinear residual where the full Broyden step overshoots,
+    the Armijo search keeps iterates bounded and reaches a better residual
+    than the same budget without it (reference scalar_search_armijo,
+    broyd_equilibrium_utils.py:17-56)."""
+    d = 8
+    scale = jnp.asarray(np.linspace(1.0, 40.0, d), jnp.float32)
+
+    def f(z, k):  # fixed point of a saturating map with wildly mixed scales
+        return jnp.tanh(scale * z) * 0.9 / scale + 0.05
+
+    x0 = jnp.full((1, d), 2.0, jnp.float32)
+    _, info_ls = broyden(f, x0, threshold=25, eps=1e-8, ls=True)
+    _, info_plain = broyden(f, x0, threshold=25, eps=1e-8)
+    assert np.isfinite(float(info_ls.residual))
+    assert float(info_ls.residual) <= float(info_plain.residual) * 1.000001
