@@ -1,13 +1,21 @@
 """Benchmark: SCI reconstruction throughput on one TPU chip.
 
-Measures frames/sec of the runnable-now flagship (DE-GAP-CNN, cnn.ckpt,
-Anderson m=5 max_iter=100 tol=1e-5 — test_cnn.sh config) over the bundled
-gray benchmarks with the reference protocol. ``vs_baseline`` is the ratio
-to the reference-semantics torch pipeline measured on this host's CPU
-(BASELINE_MEASURED.json, produced by scripts/run_parity.py; the upstream
-repo publishes no throughput numbers and its CUDA path cannot run here).
+Measures frames/sec over the bundled gray benchmarks with the reference
+protocol, for BOTH canonical configs:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* DE-GAP-CNN (cnn.ckpt, Anderson m=5 max_iter=100 tol=1e-5 — test_cnn.sh):
+  the primary ``value`` (comparable across rounds and to the measured
+  torch baseline);
+* DE-GAP-FFDNet (the reference's flagship, test_ffdnet.sh: 15-layer
+  sigma-conditioned net, max_iter=180) with the in-framework weights —
+  reported as ``flagship_*`` fields in the same JSON line.
+
+``vs_baseline`` is the ratio to the reference-semantics torch pipeline
+measured on this host's CPU (BASELINE_MEASURED.json, produced by
+scripts/run_parity.py; the upstream repo publishes no throughput numbers
+and its CUDA path cannot run here).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -20,20 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REFERENCE = "/root/reference"
 
 
-def main():
+def _load_clips():
     import jax.numpy as jnp
     from deqsci_tpu.data.sci_mat import SCITestDataset
-    from deqsci_tpu.io.torch_ckpt import convert_dncnn
-    from deqsci_tpu.maps.gap_sci import make_gap_sci_step
-    from deqsci_tpu.nets.dncnn import DnCNN
-    from deqsci_tpu.recon import make_reconstructor
     from deqsci_tpu.train.eval import FIRST_SNAPSHOT_ONLY, snapshots_of
-
-    variables, _ = convert_dncnn(os.path.join(REFERENCE, "models/cnn.ckpt"))
-    net = DnCNN(num_layers=4, use_bn=False)
-    step = make_gap_sci_step(lambda p, x: net.apply(p, x), tag="denoiser")
-    recon = make_reconstructor(step, m=5, lam=1e-2, beta=1.0,
-                               max_iter=100, tol=1e-5)
 
     ds = SCITestDataset(os.path.join(REFERENCE, "data/test_gray"))
     clips = []
@@ -42,25 +40,58 @@ def main():
         if any(p in data["file"] for p in FIRST_SNAPSHOT_ONLY):
             meas = meas[:1]
         clips.append((jnp.asarray(meas), jnp.asarray(data["mask"])))
+    return clips
 
-    # compile + warm-up (float() forces a real device->host sync; on some
-    # tunnel runtimes block_until_ready returns before execution retires)
-    import jax.numpy as _jnp
-    for meas, mask in clips:
-        float(_jnp.sum(recon(variables, meas, mask)))
 
-    n_rounds = 3
+def _throughput(recon, variables, clips, n_rounds=3):
+    """frames/sec over the benchmark suite; one synchronizing read at the
+    end (float() forces a real device->host sync; on some tunnel runtimes
+    block_until_ready returns before execution retires)."""
+    import jax.numpy as jnp
+
+    for meas, mask in clips:  # compile + warm-up
+        float(jnp.sum(recon(variables, meas, mask)))
     t0 = time.time()
     frames = 0
-    checksum = _jnp.float32(0)
+    checksum = jnp.float32(0)
     for _ in range(n_rounds):
         for meas, mask in clips:
             out = recon(variables, meas, mask)
-            checksum = checksum + _jnp.sum(out)
+            checksum = checksum + jnp.sum(out)
             frames += out.shape[0] * out.shape[-1]
-    float(checksum)  # single synchronizing read after all work
-    dt = time.time() - t0
-    fps = frames / dt
+    float(checksum)
+    return frames / (time.time() - t0)
+
+
+def _flagship_weights():
+    """In-framework FFDNet weights (the reference's ffdnet.ckpt is a
+    stripped blob): prefer the round-2 180-iter-stable weights."""
+    import orbax.checkpoint as ocp
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    for name in ("ffdnet_r2", "ffdnet_demo_ft"):
+        path = os.path.join(repo, "models", name)
+        if os.path.isdir(path):
+            snap = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+            return snap["params"] if "params" in snap else snap, name
+    return None, None
+
+
+def main():
+    from deqsci_tpu.io.torch_ckpt import convert_dncnn
+    from deqsci_tpu.maps.gap_sci import make_gap_sci_step
+    from deqsci_tpu.nets.dncnn import DnCNN
+    from deqsci_tpu.recon import make_reconstructor
+
+    clips = _load_clips()
+
+    # primary: DE-GAP-CNN (test_cnn.sh config)
+    variables, _ = convert_dncnn(os.path.join(REFERENCE, "models/cnn.ckpt"))
+    net = DnCNN(num_layers=4, use_bn=False)
+    step = make_gap_sci_step(lambda p, x: net.apply(p, x), tag="denoiser")
+    recon = make_reconstructor(step, m=5, lam=1e-2, beta=1.0,
+                               max_iter=100, tol=1e-5)
+    fps = _throughput(recon, variables, clips)
 
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -73,11 +104,29 @@ def main():
         if ref_fps:
             vs_baseline = fps / ref_fps
 
-    print(json.dumps({"metric": "sci_recon_throughput",
-                      "value": round(fps, 3),
-                      "unit": "frames/sec/chip",
-                      "vs_baseline": (round(vs_baseline, 2)
-                                      if vs_baseline else None)}))
+    result = {"metric": "sci_recon_throughput",
+              "value": round(fps, 3),
+              "unit": "frames/sec/chip",
+              "vs_baseline": (round(vs_baseline, 2) if vs_baseline
+                              else None)}
+
+    # flagship: DE-GAP-FFDNet, 180 iterations (test_ffdnet.sh config)
+    ffd_vars, ffd_name = _flagship_weights()
+    if ffd_vars is not None:
+        from deqsci_tpu.nets.ffdnet import FFDNet
+
+        ffdnet = FFDNet(in_channels=1)
+        fstep = make_gap_sci_step(
+            lambda p, x, s: ffdnet.apply(p, x, s), tag="ffdnet")
+        frecon = make_reconstructor(fstep, m=5, lam=1e-2, beta=1.0,
+                                    max_iter=180, tol=1e-5)
+        result["flagship_value"] = round(
+            _throughput(frecon, ffd_vars, clips), 3)
+        result["flagship_unit"] = "frames/sec/chip"
+        result["flagship_config"] = (
+            f"DE-GAP-FFDNet maxiter=180 weights={ffd_name}")
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

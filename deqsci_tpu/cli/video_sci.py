@@ -153,10 +153,11 @@ def main(argv=None):
 
     # training
     deq = make_deq(step, **deq_kw, **solver_kw)
-    base_dataset = SCITrainingDataset(
+    from deqsci_tpu.dist.mesh import ProcessShardedDataset
+    base_dataset = ProcessShardedDataset(SCITrainingDataset(
         os.path.join(args.trainpath, "gt/"),
         os.path.join(args.trainpath, "measurement/"),
-        os.path.join(args.trainpath, "mask.mat"))
+        os.path.join(args.trainpath, "mask.mat")))
 
     if int(args.batch_size) > 1:
         bs = int(args.batch_size)

@@ -77,3 +77,30 @@ def process_shard(n: int, process_index: Optional[int] = None,
     start = pi * per
     end = n if pi == pc - 1 else start + per
     return range(start, end)
+
+
+class ProcessShardedDataset:
+    """Per-host contiguous shard of an indexable dataset.
+
+    The multi-host data-loading path: each process iterates only its
+    ``process_shard`` slice and feeds its local devices; the global batch
+    is assembled by the data-axis sharding. With one process (the
+    single-host default) this is the identity wrapper, so the training CLI
+    applies it unconditionally.
+    """
+
+    def __init__(self, dataset, process_index: Optional[int] = None,
+                 process_count: Optional[int] = None):
+        self.dataset = dataset
+        self.indices = process_shard(len(dataset), process_index,
+                                     process_count)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, i: int):
+        return self.dataset[self.indices[i]]
+
+    def __iter__(self):
+        for i in self.indices:
+            yield self.dataset[i]

@@ -113,6 +113,74 @@ def normalize_params(params: Dict[str, Any], sn_state: Dict[str, Any],
     return out, new_state
 
 
+def percall_sigma_schedule(kernel: jnp.ndarray, u: jnp.ndarray,
+                           n_calls: int, n_power_iterations: int = 1
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The sigma sequence the reference's train-mode hook produces.
+
+    The hook advances ``u`` by ``n_power_iterations`` (default 1) on EVERY
+    module call (utils/spectral_norm.py:268-275) — hundreds of times inside
+    one DEQ solve. Weights are constant within a solve, so the per-call
+    sequence is a pure function of (kernel, u0): sigma_k after k+1 hook
+    firings. Returns (sigmas (n_calls,), final u). Each sigma is
+    differentiable w.r.t. kernel with u, v as constants, matching the
+    reference where only ``cur_sigma``'s final contraction carries grad.
+    """
+    def body(u, _):
+        sigma = None
+        for _i in range(max(1, n_power_iterations)):
+            u, sigma = conv_power_step(kernel, u)
+        return u, sigma
+
+    u_final, sigmas = jax.lax.scan(body, u, None, length=n_calls)
+    return sigmas, u_final
+
+
+def make_percall_sn_step(base_step, sigma_targets: Dict[str, float],
+                         max_calls: int, n_power_iterations: int = 1):
+    """Per-call SN mode — the reference's exact train-mode hook semantics.
+
+    The returned ``step(aug_params, z, k, args)`` applies ``base_step`` with
+    weights normalized by the k-th sigma of the per-call power-iteration
+    sequence (one iteration per module call, as the forward-pre-hook fires:
+    utils/spectral_norm.py:268-275). Precomputing the schedule with one
+    ``lax.scan`` is call-for-call equivalent to threading u through the
+    solve (weights are constant within a solve) while keeping the solver
+    carry pure and the step closure tracer-free for ``jax.custom_vjp``.
+
+    Returns ``(step, prepare)``. Inside the loss function call
+    ``aug_params, new_state = prepare(params, sn_state)`` and pass
+    ``aug_params`` as the DEQ's params — gradients then flow into
+    ``params`` both directly and through each sigma (the reference's
+    ``cur_sigma`` grad path, utils/spectral_norm.py:253-258).
+    """
+
+    def prepare(params: Dict[str, Any], sn_state: Dict[str, Any]
+                ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+        sigmas: Dict[str, jnp.ndarray] = {}
+        new_state: Dict[str, Any] = dict(sn_state)
+        for name, _t in sigma_targets.items():
+            s, u = percall_sigma_schedule(
+                params[name]["kernel"], sn_state[name], max_calls,
+                n_power_iterations)
+            sigmas[name] = s
+            new_state[name] = jax.lax.stop_gradient(u)
+        return {"raw": params, "sigmas": sigmas}, new_state
+
+    def step(aug, z, k, args):
+        params, sigmas = aug["raw"], aug["sigmas"]
+        kc = jnp.minimum(k, max_calls - 1)
+        out = dict(params)
+        for name, target in sigma_targets.items():
+            entry = dict(params[name])
+            entry["kernel"] = (params[name]["kernel"]
+                               / sigmas[name][kc] * target)
+            out[name] = entry
+        return base_step(out, z, k, args)
+
+    return step, prepare
+
+
 def simplecnn_sigma_targets(lip: float, num_layers: int = 4
                             ) -> Dict[str, float]:
     """Per-layer targets sigma_i = lip**(1/L) (SimpleCNN_models.py:14-15)."""

@@ -19,32 +19,79 @@ import numpy as np
 import scipy.io as sio
 
 
+def _smooth_noise(rng, h, w, cells):
+    """Multi-scale smooth random texture: bilinear-upsampled coarse grids
+    (a cheap Perlin analog) — natural-image-like piecewise-smooth content."""
+    out = np.zeros((h, w), np.float32)
+    amp = 1.0
+    for c in cells:
+        g = rng.standard_normal((c + 1, c + 1)).astype(np.float32)
+        ys = np.linspace(0, c, h, dtype=np.float32)
+        xs = np.linspace(0, c, w, dtype=np.float32)
+        y0 = np.minimum(ys.astype(np.int32), c - 1)
+        x0 = np.minimum(xs.astype(np.int32), c - 1)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        out += amp * ((1 - fy) * (1 - fx) * g[y0[:, None], x0[None, :]]
+                      + (1 - fy) * fx * g[y0[:, None], x0[None, :] + 1]
+                      + fy * (1 - fx) * g[y0[:, None] + 1, x0[None, :]]
+                      + fy * fx * g[y0[:, None] + 1, x0[None, :] + 1])
+        amp *= 0.55
+    return out
+
+
 def synthetic_clip(rng, h=256, w=256, t=8):
-    """Procedural 8-frame gray clip: translating sine textures + moving
-    shapes with varied contrast (diversifies the tiny bundled corpus)."""
+    """Procedural 8-frame gray clip: a translating multi-scale smooth
+    texture plus sine gratings and moving occluders (discs, rectangles,
+    bars) with varied contrast and velocities. Diversifies the tiny bundled
+    corpus toward natural-video statistics: piecewise-smooth backgrounds,
+    sharp moving edges, occlusion."""
     yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
                          np.arange(w, dtype=np.float32), indexing="ij")
-    base = np.zeros((h, w), np.float32)
-    for _ in range(rng.integers(2, 5)):
+    base = _smooth_noise(rng, h, w, cells=(4, 8, 16, 32))
+    base = base / (np.abs(base).max() + 1e-6)
+    for _ in range(rng.integers(0, 3)):
         fx, fy = rng.uniform(0.5, 8, 2) / 256.0
         ph = rng.uniform(0, 2 * np.pi)
-        base += rng.uniform(0.1, 0.4) * np.sin(
+        base += rng.uniform(0.05, 0.25) * np.sin(
             2 * np.pi * (fx * xx + fy * yy) + ph)
-    vx, vy = rng.uniform(-4, 4, 2)
-    frames = []
+    vx, vy = rng.uniform(-5, 5, 2)
+
     shapes = []
-    for _ in range(rng.integers(1, 4)):
-        cx, cy = rng.uniform(40, 216, 2)
-        r = rng.uniform(10, 50)
-        sv = rng.uniform(-6, 6, 2)
-        a = rng.uniform(0.2, 0.8)
-        shapes.append([cx, cy, r, sv[0], sv[1], a])
+    for _ in range(rng.integers(1, 5)):
+        kind = rng.choice(["disc", "rect", "bar"])
+        cx, cy = rng.uniform(30, min(h, w) - 30, 2)
+        sv = rng.uniform(-7, 7, 2)
+        a = rng.uniform(-0.8, 0.8)
+        if abs(a) < 0.2:
+            a = np.sign(a or 1) * 0.2
+        if kind == "disc":
+            geo = (rng.uniform(8, 55),)
+        elif kind == "rect":
+            geo = (rng.uniform(10, 60), rng.uniform(10, 60))
+        else:  # bar
+            geo = (rng.uniform(4, 14), rng.uniform(0, np.pi))
+        shapes.append((kind, cx, cy, sv, a, geo))
+
+    gain = rng.uniform(0.85, 1.15)          # per-clip contrast
+    drift = rng.uniform(-0.02, 0.02)        # per-frame brightness drift
+    frames = []
     for ti in range(t):
-        f = np.roll(np.roll(base, int(ti * vy), 0), int(ti * vx), 1).copy()
-        for cx, cy, r, svx, svy, a in shapes:
-            m = ((xx - (cx + ti * svx)) ** 2
-                 + (yy - (cy + ti * svy)) ** 2) < r ** 2
-            f = f + a * m
+        f = np.roll(np.roll(base, int(round(ti * vy)), 0),
+                    int(round(ti * vx)), 1).copy()
+        for kind, cx, cy, sv, a, geo in shapes:
+            px, py = cx + ti * sv[0], cy + ti * sv[1]
+            if kind == "disc":
+                m = ((xx - px) ** 2 + (yy - py) ** 2) < geo[0] ** 2
+            elif kind == "rect":
+                m = ((np.abs(xx - px) < geo[0] / 2)
+                     & (np.abs(yy - py) < geo[1] / 2))
+            else:
+                th = geo[1]
+                d = np.abs((xx - px) * np.sin(th) - (yy - py) * np.cos(th))
+                m = d < geo[0] / 2
+            f = np.where(m, f * 0.3 + a, f)  # occlusion, not pure additive
+        f = f * gain + ti * drift
         f = (f - f.min()) / (np.ptp(f) + 1e-6)
         frames.append(f)
     return np.stack(frames, -1).astype(np.float64)

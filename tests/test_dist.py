@@ -65,3 +65,22 @@ def test_sharded_matches_single_device(rng):
 def test_graft_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_process_sharded_dataset_partitions_exactly():
+    """Multi-host data loading: the per-process shards partition the
+    dataset exactly (contiguous, disjoint, remainder on the last host) and
+    single-process is the identity wrapper."""
+    from deqsci_tpu.dist.mesh import ProcessShardedDataset
+
+    data = list(range(23))
+    seen = []
+    for pi in range(4):
+        ds = ProcessShardedDataset(data, process_index=pi, process_count=4)
+        items = list(ds)
+        assert items == [ds[i] for i in range(len(ds))]
+        seen.extend(items)
+    assert seen == data  # exact cover, order-preserving
+
+    ident = ProcessShardedDataset(data, process_index=0, process_count=1)
+    assert list(ident) == data
