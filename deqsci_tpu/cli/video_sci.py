@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="iteration map: GAP prox-grad (reference default) "
                    "or ADMM (present-but-unwired upstream: "
                    "solvers/equilibrium_solvers_yaping.py:438-465)")
+    p.add_argument("--precision", default="packed",
+                   choices=["packed", "high", "highest"],
+                   help="conv scheme for the denoiser body: 'packed' "
+                        "(split2 bf16, production default, -0.003 dB vs "
+                        "'high' at 1.25x speed), 'high' (3-pass bf16), "
+                        "'highest' (true fp32, oracle studies)")
     p.add_argument("--sigma_min", type=float, default=0.0,
                    help="floor for the FFDNet sigma schedule in [0,255] "
                    "units (0 = reference semantics: unbounded decay); "
@@ -76,7 +82,7 @@ def main(argv=None):
 
     print("devices:", jax.devices(), flush=True)
 
-    spec = build_denoiser(args.denoiser)
+    spec = build_denoiser(args.denoiser, precision=args.precision)
     if args.sci_solver == "admm":
         from deqsci_tpu.maps.admm_sci import make_admm_sci_step
         from deqsci_tpu.ops.sensing import initial_point_admm

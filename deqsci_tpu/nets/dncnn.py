@@ -18,10 +18,92 @@ All convs are 3x3, padding SAME, bias-free, NHWC.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from deqsci_tpu.ops.pallas.small_conv import (conv3x3_cin1_depthwise,
                                               conv3x3_small_cout_depthwise)
+
+
+def split_pack(y: jnp.ndarray) -> jnp.ndarray:
+    """f32 (..., C) -> bf16 (..., 2C) packed [hi | lo] with y ~= hi + lo.
+
+    ``lax.reduce_precision`` (not an astype round-trip, which XLA's
+    excess-precision simplifier folds to zero) extracts the bf16-exact
+    part; the residual is itself bf16-representable to ~f32 accuracy.
+    """
+    hi = lax.reduce_precision(y, exponent_bits=8, mantissa_bits=7)
+    lo = (y - hi).astype(jnp.bfloat16)
+    return jnp.concatenate([hi.astype(jnp.bfloat16), lo], axis=-1)
+
+
+def unpack_sum(z: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`split_pack` up to the lo-part rounding."""
+    c = z.shape[-1] // 2
+    return z[..., :c].astype(jnp.float32) + z[..., c:].astype(jnp.float32)
+
+
+def _conv_same(z, w):
+    dn = lax.conv_dimension_numbers(z.shape, w.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(z, w, (1, 1), "SAME",
+                                    dimension_numbers=dn,
+                                    preferred_element_type=jnp.float32)
+
+
+@jax.custom_vjp
+def _packed_conv(z, wcat):
+    """bf16 x bf16 -> f32 SAME conv with an f32 backward.
+
+    XLA's transpose rule for a mixed-dtype conv (f32 cotangent against the
+    bf16 kernel) rejects the operand pair, so the VJP re-linearizes in f32
+    — also the numerically right choice for the IFT backward, whose
+    transpose-Jacobian solve amplifies cotangent rounding.
+    """
+    return _conv_same(z, wcat)
+
+
+def _packed_conv_fwd(z, wcat):
+    return _conv_same(z, wcat), (z, wcat)
+
+
+def _packed_conv_bwd(res, g):
+    z, wcat = res
+    _, vjp = jax.vjp(_conv_same, z.astype(jnp.float32),
+                     wcat.astype(jnp.float32))
+    dz, dw = vjp(g)
+    return dz.astype(z.dtype), dw.astype(wcat.dtype)
+
+
+_packed_conv.defvjp(_packed_conv_fwd, _packed_conv_bwd)
+
+
+class PackedBodyConv(nn.Module):
+    """3x3 bias-free conv evaluated in the packed-split2 scheme.
+
+    Consumes a packed (..., 2C) bf16 activation, contracts hi and lo parts
+    against the SAME bf16-rounded kernel in ONE 2C-input-channel conv
+    (y = conv(x_hi, Wb) + conv(x_lo, Wb)), returning the f32 accumulator.
+
+    Numerics: corrects the dynamic activation rounding that compounds over
+    the fixed-point iteration; the static bf16 weight rounding is a fixed
+    map perturbation, measured at -0.003 dB end to end vs Precision.HIGH
+    on the DE-GAP-CNN golden configs at 1.25x the throughput (STATUS.md).
+    Parameter tree is identical to nn.Conv's (kernel (3, 3, C, C)), so
+    converted reference checkpoints load unchanged.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        c = z.shape[-1] // 2
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c, self.features))
+        wb = kernel.astype(jnp.bfloat16)
+        wcat = jnp.concatenate([wb, wb], axis=2)     # (3, 3, 2C, Co)
+        return _packed_conv(z, wcat)
 
 
 class FastInputConv(nn.Module):
@@ -56,35 +138,48 @@ class StencilHeadConv(nn.Module):
 class DnCNN(nn.Module):
     """Bias-free conv stack: conv-relu, (layers-2) x [conv (bn) relu], conv.
 
-    Precision policy (measured on drop8, 100 DEQ iterations — PARITY.md):
-    TPU-default bf16 convs cost ~1.9 dB; 'high' (3-pass bf16, fp32-rate
-    error) costs 0.001 dB at ~1.9x the speed of 'highest' (true fp32).
-    Default 'high'; use 'highest' for bitwise-level parity studies.
+    Precision policy (measured end to end on the golden configs, 100 DEQ
+    iterations — PARITY.md/STATUS.md):
+    * 'packed' (default): split2 scheme via PackedBodyConv — -0.003 dB vs
+      'high' at 1.25x throughput (20.3 vs 16.2 frames/s);
+    * 'high': 3-pass bf16 conv, fp32-rate error (the exact-parity path);
+    * 'highest': true fp32, for bitwise-level oracle comparisons;
+    * TPU-default 1-pass bf16 was measured at -0.47 dB and rejected.
     """
 
     channels: int = 1
     features: int = 64
     num_layers: int = 4
     use_bn: bool = False
-    precision: str = "high"
+    precision: str = "packed"
     fast_head: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        packed = self.precision == "packed"
         conv = lambda feats, name: nn.Conv(
             feats, (3, 3), padding="SAME", use_bias=False, name=name,
-            precision=self.precision)
+            precision="high" if packed else self.precision)
         if self.fast_head and x.shape[-1] == 1:
             x = nn.relu(FastInputConv(self.features, name="conv0")(x))
         else:
             x = nn.relu(conv(self.features, "conv0")(x))
+        if packed:
+            x = split_pack(x)
         for i in range(1, self.num_layers - 1):
-            x = conv(self.features, f"conv{i}")(x)
+            if packed:
+                x = PackedBodyConv(self.features, name=f"conv{i}")(x)
+            else:
+                x = conv(self.features, f"conv{i}")(x)
             if self.use_bn:
                 x = nn.BatchNorm(use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
                                  name=f"bn{i}")(x)
             x = nn.relu(x)
+            if packed:
+                x = split_pack(x)
+        if packed:
+            x = unpack_sum(x)
         head = f"conv{self.num_layers - 1}"
         if self.fast_head and self.channels <= 8:
             return StencilHeadConv(self.channels, name=head)(x)

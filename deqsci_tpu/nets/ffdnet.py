@@ -47,7 +47,7 @@ class FFDNet(nn.Module):
     """
 
     in_channels: int = 1
-    precision: str = "high"
+    precision: str = "packed"
     fast_head: bool = True
 
     @property
@@ -69,15 +69,27 @@ class FFDNet(nn.Module):
             (n, h // 2, w // 2, c))
         y = jnp.concatenate([noise_map, down], axis=-1)
 
+        packed = self.precision == "packed"
         conv = lambda feats, name: nn.Conv(
             feats, (3, 3), padding="SAME", use_bias=False, name=name,
-            precision=self.precision)
+            precision="high" if packed else self.precision)
         y = nn.relu(conv(cfg["feats"], "conv0")(y))
+        if packed:
+            from deqsci_tpu.nets.dncnn import (PackedBodyConv, split_pack,
+                                               unpack_sum)
+            y = split_pack(y)
         for i in range(1, cfg["layers"] - 1):
-            y = conv(cfg["feats"], f"conv{i}")(y)
+            if packed:
+                y = PackedBodyConv(cfg["feats"], name=f"conv{i}")(y)
+            else:
+                y = conv(cfg["feats"], f"conv{i}")(y)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"bn{i}")(y)
             y = nn.relu(y)
+            if packed:
+                y = split_pack(y)
+        if packed:
+            y = unpack_sum(y)
         head = f"conv{cfg['layers'] - 1}"
         if self.fast_head:
             from deqsci_tpu.nets.dncnn import StencilHeadConv

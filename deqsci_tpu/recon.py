@@ -27,6 +27,8 @@ from deqsci_tpu.ops.sensing import initial_point, phi_sum
 def make_reconstructor(step: Callable, solver: Callable = anderson,
                        init_fn: Callable = initial_point,
                        output_fn: Callable = lambda z: z,
+                       warmup_step: Callable = None,
+                       warmup_iters: int = 0,
                        **solver_kwargs):
     """Build ``recon(params, meas, Phi) -> frames``.
 
@@ -37,13 +39,43 @@ def make_reconstructor(step: Callable, solver: Callable = anderson,
     ``init_fn(y, Phi)`` builds the initial carry (``initial_point_admm``
     for the two-tensor ADMM carry) and ``output_fn`` extracts the frame
     estimate from the final carry (``lambda c: c[0]`` for ADMM).
+
+    Two-phase precision (opt-in throughput mode): when ``warmup_step`` is
+    given, the first ``warmup_iters`` call indices run that step (e.g. the
+    same map with bf16 convs) under the same solver, then the solve
+    re-converges with the exact ``step`` for the remaining budget. Call
+    indices continue across the phase boundary, so per-call state (the
+    FFDNet sigma schedule) sees exactly the reference's index sequence;
+    the total number of map calls equals the single-phase count. The
+    Anderson history restarts at the boundary, so iterates differ from the
+    single-phase trajectory — quality parity is measured, not bitwise
+    (scripts/twophase_probe.py).
     """
-    deq = make_deq(step, solver=solver, **solver_kwargs)
+    total_iters = solver_kwargs.get("max_iter", 50)
+    if warmup_step is not None and warmup_iters > 0:
+        # Anderson always consumes call indices {0, 1} seeding its history,
+        # so a warmup shorter than 2 cannot hold the index accounting.
+        assert 2 <= warmup_iters < total_iters, (warmup_iters, total_iters)
+        shifted = lambda p, z, k, a: step(p, z, k + warmup_iters, a)
+        main_kwargs = dict(solver_kwargs, max_iter=total_iters - warmup_iters)
+        deq = make_deq(shifted, solver=solver, **main_kwargs)
+        warm_kwargs = dict(solver_kwargs, max_iter=warmup_iters, tol=0.0)
+        warm_kwargs.pop("record_trace", None)
+
+        def presolve(params, z0, args):
+            fw = lambda z, k: warmup_step(params, z, k, args)
+            z1, _ = solver(fw, z0, **warm_kwargs)
+            return z1
+    else:
+        deq = make_deq(step, solver=solver, **solver_kwargs)
+        presolve = None
 
     def recon_one(params: Any, y: jnp.ndarray, Phi: jnp.ndarray,
                   Phi_s: jnp.ndarray) -> jnp.ndarray:
         yb, Phib, Psb = y[None], Phi[None], Phi_s[None]
         z0 = init_fn(yb, Phib)
+        if presolve is not None:
+            z0 = presolve(params, z0, (yb, Phib, Psb))
         out = output_fn(deq(params, z0, (yb, Phib, Psb)))
         return out[0]
 

@@ -29,16 +29,30 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def _sync(out) -> None:
+    """Force completion of a jitted call's outputs.
+
+    On tunnel runtimes (axon) ``block_until_ready`` can return before the
+    program retires, so the only dependable sync is a device->host fetch;
+    one element of one leaf suffices (XLA programs retire atomically).
+    """
+    import jax
+    import numpy as np
+    jax.block_until_ready(out)
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves and hasattr(leaves[0], "ravel"):
+        np.asarray(jax.numpy.ravel(leaves[0])[0])
+
+
 def time_fn(fn: Callable, *args, iters: int = 5, warmup: int = 1,
             **kwargs) -> float:
     """Median-of-``iters`` wall seconds per call, compile excluded."""
-    import jax
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args, **kwargs))
+        _sync(fn(*args, **kwargs))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kwargs))
+        _sync(fn(*args, **kwargs))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]

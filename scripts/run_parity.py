@@ -71,7 +71,7 @@ def run_tpu(cfg):
 
     print("[tpu] devices:", jax.devices(), flush=True)
     variables, _ = convert_dncnn(cfg["ckpt"])
-    net = DnCNN(num_layers=4, use_bn=False)
+    net = DnCNN(num_layers=4, use_bn=False, precision="high")  # exact-parity path
     step = make_gap_sci_step(lambda p, x: net.apply(p, x), tag="denoiser")
     recon = make_reconstructor(step, m=5, lam=1e-2, beta=1.0,
                                max_iter=cfg["max_iter"], tol=1e-5)

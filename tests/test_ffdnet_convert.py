@@ -35,7 +35,9 @@ def test_ffdnet_roundtrip(tmp_path, rng):
     torch.save({"solver_state_dict": sd, "epoch": 0}, path)
 
     variables, _ = convert_ffdnet(str(path))
-    net = FFDNet(in_channels=1)
+    # exact-precision net for the bitwise-level oracle comparison (the
+    # production default 'packed' carries bf16 weight rounding ~1e-3)
+    net = FFDNet(in_channels=1, precision="highest")
 
     x = rng.standard_normal((3, 32, 32, 1)).astype(np.float32)
     sigma = np.float32([0.1, 0.2, 0.3])

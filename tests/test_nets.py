@@ -107,3 +107,39 @@ def test_zoo_builds_and_applies(name):
 def test_zoo_unknown_raises():
     with pytest.raises(NotImplementedError):
         build_denoiser("nope")
+
+
+def test_packed_split2_matches_highest(rng):
+    """The packed-split2 scheme must agree with full-precision conv up to
+    the static bf16 weight rounding (~1e-3 relative) on one application."""
+    import jax.numpy as jnp
+
+    from deqsci_tpu.nets.dncnn import DnCNN
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 1)).astype(np.float32))
+    exact = DnCNN(num_layers=4, use_bn=False, precision="highest")
+    packed = DnCNN(num_layers=4, use_bn=False, precision="packed")
+    variables = exact.init(jax.random.key(0), x)
+    a = np.asarray(exact.apply(variables, x))
+    b = np.asarray(packed.apply(variables, x))   # same param tree
+    scale = np.abs(a).max() + 1e-8
+    assert np.abs(a - b).max() / scale < 5e-3
+
+
+def test_packed_split2_is_differentiable(rng):
+    import jax
+    import jax.numpy as jnp
+
+    from deqsci_tpu.nets.dncnn import DnCNN
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 1)).astype(np.float32))
+    net = DnCNN(num_layers=4, use_bn=False, precision="packed")
+    variables = net.init(jax.random.key(0), x)
+
+    def loss(v):
+        return jnp.mean(net.apply(v, x) ** 2)
+
+    g = jax.grad(loss)(variables)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)

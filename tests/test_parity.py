@@ -40,7 +40,8 @@ def flax_cnn():
     from deqsci_tpu.io.torch_ckpt import convert_dncnn
     from deqsci_tpu.nets.dncnn import DnCNN
     variables, _ = convert_dncnn(CNN_CKPT)
-    net = DnCNN(num_layers=4, use_bn=False)
+    # exact precision: these are bitwise-level oracle comparisons
+    net = DnCNN(num_layers=4, use_bn=False, precision="highest")
     return net, variables
 
 
@@ -65,7 +66,8 @@ def test_rsn_cnn_conversion_parity(rng):
 
     variables, sn = convert_dncnn(RSN_CKPT)
     assert set(sn) == {"conv0", "conv1", "conv2", "conv3"}
-    net = DnCNN(num_layers=4, use_bn=False)
+    # exact precision: these are bitwise-level oracle comparisons
+    net = DnCNN(num_layers=4, use_bn=False, precision="highest")
     oracle = SimpleCNNOracle().load_reference(RSN_CKPT).eval()
     x = rng.standard_normal((2, 32, 32, 1)).astype(np.float32)
     got = np.asarray(net.apply(variables, jnp.asarray(x)))
