@@ -61,13 +61,35 @@ def make_denoiser_train_step(apply_fn: Callable, optimizer,
     return step
 
 
+def small_sigma_mixture(sigma_max=75.0 / 255.0, frac_small=0.5):
+    """Sigma sampler emphasizing tiny noise levels: with prob
+    ``frac_small`` draw ``sigma_max * u^3`` (density ~sigma^{-2/3} near 0),
+    else uniform — the reference's uniform [0, 75]/255
+    (networks/ffdnet/train.py) gives tiny sigmas almost no mass, yet the
+    DE-GAP schedule spends iterations ~47..180 below 15/255, where an
+    undertrained denoiser stops being contractive and the 180-iteration
+    flagship solve diverges (PARITY.md round 1)."""
+
+    def sample(key, n, dtype):
+        k1, k2, k3 = jax.random.split(key, 3)
+        u = jax.random.uniform(k1, (n,), dtype)
+        uni = jax.random.uniform(k2, (n,), dtype, 0.0, sigma_max)
+        small = sigma_max * u ** 3
+        pick = jax.random.bernoulli(k3, frac_small, (n,))
+        return jnp.where(pick, small, uni)
+
+    return sample
+
+
 def make_ffdnet_train_step(net, optimizer,
-                           sigma_range=(0.0, 75.0 / 255.0)):
+                           sigma_range=(0.0, 75.0 / 255.0),
+                           sigma_sampler=None):
     """FFDNet step: per-sample random sigma, predict the noise.
 
     Trains BatchNorm properly: batch statistics in the forward pass,
     running averages threaded through as mutable state (torch-equivalent
-    train/eval semantics)."""
+    train/eval semantics). ``sigma_sampler(key, n, dtype)`` overrides the
+    uniform sigma draw (see :func:`small_sigma_mixture`)."""
 
     def loss_fn(params, batch_stats, x, eps, sigma):
         noise = sigma[:, None, None, None] * eps
@@ -80,8 +102,11 @@ def make_ffdnet_train_step(net, optimizer,
     def step(params, batch_stats, opt_state, x, key):
         k1, k2 = jax.random.split(key)
         eps = jax.random.normal(k1, x.shape, x.dtype)
-        sigma = jax.random.uniform(k2, (x.shape[0],), x.dtype,
-                                   sigma_range[0], sigma_range[1])
+        if sigma_sampler is not None:
+            sigma = sigma_sampler(k2, x.shape[0], x.dtype)
+        else:
+            sigma = jax.random.uniform(k2, (x.shape[0],), x.dtype,
+                                       sigma_range[0], sigma_range[1])
         (loss, batch_stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch_stats, x, eps, sigma)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -122,15 +147,23 @@ def recalibrate_batch_stats(net, variables: Dict, batches: Iterable,
 def train_ffdnet(net, variables: Dict, patch_epochs: Iterable,
                  *, lr: float = 1e-3, orthogonalize: bool = True,
                  val_fn: Optional[Callable] = None,
-                 log_every: int = 50) -> Dict:
+                 log_every: int = 50, sigma_sampler=None,
+                 writer=None, val_images: Optional[np.ndarray] = None,
+                 val_sigma: float = 25.0 / 255.0) -> Dict:
     """Run the FFDNet pretraining loop over an iterable of epochs, each an
     iterable of (N, p, p, 1) numpy batches. ``variables`` is the full flax
-    tree {'params', 'batch_stats'}; returns the trained tree."""
+    tree {'params', 'batch_stats'}; returns the trained tree.
+
+    ``writer`` (tensorboardX SummaryWriter) gets the reference trainer's
+    scalars ('loss', 'PSNR on validation data') and per-epoch image grids
+    of clean/noisy/reconstructed ``val_images`` (networks/ffdnet/
+    train.py:169-216 semantics)."""
     params = variables["params"]
     batch_stats = variables["batch_stats"]
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
-    step = make_ffdnet_train_step(net, optimizer)
+    step = make_ffdnet_train_step(net, optimizer,
+                                  sigma_sampler=sigma_sampler)
     key = jax.random.key(0)
     it = 0
     for epoch, batches in enumerate(patch_epochs):
@@ -141,6 +174,8 @@ def train_ffdnet(net, variables: Dict, patch_epochs: Iterable,
             if it % log_every == 0:
                 print(f"[ffdnet] epoch {epoch} it {it} "
                       f"loss {float(loss):.6f}", flush=True)
+                if writer is not None:
+                    writer.add_scalar("loss", float(loss), it)
             it += 1
         if orthogonalize:
             params = svd_orthogonalization(params)
@@ -149,4 +184,24 @@ def train_ffdnet(net, variables: Dict, patch_epochs: Iterable,
                                "batch_stats": batch_stats})
             print(f"[ffdnet] epoch {epoch} val PSNR {val_psnr:.2f} dB",
                   flush=True)
+            if writer is not None:
+                writer.add_scalar("PSNR on validation data", val_psnr,
+                                  epoch)
+        if writer is not None and val_images is not None:
+            from deqsci_tpu.utils.logging import log_image_grid
+            v = {"params": params, "batch_stats": batch_stats}
+            clean = jnp.asarray(val_images)
+            sig = jnp.full((clean.shape[0],), val_sigma, clean.dtype)
+            noise = val_sigma * jax.random.normal(jax.random.key(7),
+                                                  clean.shape, clean.dtype)
+            noisy = clean + noise
+            recon = jnp.clip(noisy - net.apply(v, noisy, sig), 0, 1)
+            if epoch == 0:
+                log_image_grid(writer, "Clean validation images",
+                               np.asarray(clean)[..., 0], epoch)
+                log_image_grid(writer, "Noisy validation images",
+                               np.clip(np.asarray(noisy), 0, 1)[..., 0],
+                               epoch)
+            log_image_grid(writer, "Reconstructed validation images",
+                           np.asarray(recon)[..., 0], epoch)
     return {"params": params, "batch_stats": batch_stats}
