@@ -69,7 +69,7 @@ def _flagship_weights():
     import orbax.checkpoint as ocp
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    for name in ("ffdnet_r2", "ffdnet_demo_ft"):
+    for name in ("ffdnet_r2", "ffdnet_r2_curr", "ffdnet_demo_ft"):
         path = os.path.join(repo, "models", name)
         if os.path.isdir(path):
             snap = ocp.StandardCheckpointer().restore(os.path.abspath(path))

@@ -55,6 +55,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(split2 bf16, production default, -0.003 dB vs "
                         "'high' at 1.25x speed), 'high' (3-pass bf16), "
                         "'highest' (true fp32, oracle studies)")
+    p.add_argument("--backward", default="solver",
+                   choices=["solver", "neumann", "passthrough"],
+                   help="DEQ gradient scheme: 'solver' = exact IFT "
+                        "(reference DEQFixedPoint), 'neumann' = truncated "
+                        "Neumann series (DEQFixedPointNeumann, "
+                        "new_equilibrium_utils_yaping.py:331-365 — bounded "
+                        "gradients for long-horizon training)")
+    p.add_argument("--neumann_k", type=int, default=10)
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="global-norm gradient clip (0 = off, the "
+                        "reference recipe); >0 stabilizes 180-iteration "
+                        "equilibrium training")
     p.add_argument("--sigma_min", type=float, default=0.0,
                    help="floor for the FFDNet sigma schedule in [0,255] "
                    "units (0 = reference semantics: unbounded decay); "
@@ -92,6 +104,9 @@ def main(argv=None):
         # reference DEQFixedPointADMM has its backward hook disabled
         # (lines 414-451): gradients flow through the re-attach step only
         deq_kw = dict(backward="passthrough")
+        if args.backward != "solver":
+            deq_kw = dict(backward=args.backward,
+                          neumann_k=int(args.neumann_k))
     else:
         gap_kw = {}
         if args.sigma_min:
@@ -99,6 +114,9 @@ def main(argv=None):
         step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag, **gap_kw)
         recon_kw = {}
         deq_kw = {}
+        if args.backward != "solver":
+            deq_kw = dict(backward=args.backward,
+                          neumann_k=int(args.neumann_k))
 
     load_location = args.loadpath
     if args.sigma:
@@ -209,7 +227,7 @@ def main(argv=None):
         train_kw = dict(init_fn=initial_point_admm,
                         output_fn=lambda c: c[0])
     return train_solver_sci(
-        deq, variables, dataset,
+        deq, variables, dataset, grad_clip=float(args.grad_clip),
         n_epochs=int(args.n_epochs), base_lr=float(args.lr),
         sched_step=int(args.sched_step), lr_gamma=float(args.lr_gamma),
         start_epoch=start_epoch, eval_fn=eval_fn, save_fn=save_fn,

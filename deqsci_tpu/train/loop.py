@@ -36,7 +36,17 @@ def steplr(base_lr: float, step_size: int, gamma: float):
     return lr_for_epoch
 
 
-def make_optimizer(base_lr: float = 1e-4):
+def make_optimizer(base_lr: float = 1e-4, grad_clip: float = 0.0):
+    """Adam with injected lr (StepLR support). ``grad_clip`` > 0 adds
+    global-norm clipping — not part of the reference recipe (which has no
+    clipping), but necessary for long-horizon equilibrium training where
+    the IFT system (I - J) turns near-singular and gradients spike
+    (scripts/ffdnet_curriculum.py); off by default."""
+    if grad_clip and grad_clip > 0:
+        def tx(learning_rate):
+            return optax.chain(optax.clip_by_global_norm(grad_clip),
+                               optax.adam(learning_rate))
+        return optax.inject_hyperparams(tx)(learning_rate=base_lr)
     return optax.inject_hyperparams(optax.adam)(learning_rate=base_lr)
 
 
@@ -94,6 +104,7 @@ def train_solver_sci(deq: Callable, params, dataset, *,
                      explosion_threshold: float = -10.0,
                      init_fn: Callable = initial_point,
                      output_fn: Callable = lambda z: z,
+                     grad_clip: float = 0.0,
                      writer=None) -> Dict[str, Any]:
     """The full training loop with NaN-reset-from-checkpoint semantics.
 
@@ -101,7 +112,7 @@ def train_solver_sci(deq: Callable, params, dataset, *,
     ``eval_fn(params) -> avg_psnr`` runs the test protocol;
     ``save_fn(tag, state_snapshot)`` persists checkpoints.
     """
-    optimizer = make_optimizer(base_lr)
+    optimizer = make_optimizer(base_lr, grad_clip=grad_clip)
     opt_state = optimizer.init(params)
     train_step = make_train_step(deq, optimizer, init_fn=init_fn,
                                  output_fn=output_fn)
