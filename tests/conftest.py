@@ -15,6 +15,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the fast suite is dominated by XLA-CPU
+# compiles of the U-Net / sharded-train-step programs (~120 s); caching
+# them across runs keeps repeat runs well under the CI budget.
+jax.config.update("jax_compilation_cache_dir", "/tmp/deqsci_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
