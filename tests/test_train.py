@@ -73,3 +73,88 @@ def test_full_loop_runs_and_checkpoints(rng, tmp_path):
     assert "epoch_0" in saved and "epoch_1" in saved
     assert "best" in saved
     assert out["best_psnr"] > 0
+
+
+def test_admm_passthrough_gradient_is_zero(rng):
+    """Documents the round-2 finding: the reference's hook-disabled
+    DEQFixedPointADMM backward (passthrough) has EXACTLY zero parameter
+    gradient, because the extracted output component is the pre-denoise
+    physics update of stop-gradded fixed-point state — which is why the
+    reference could never have trained its ADMM config (PARITY.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deqsci_tpu.fp.deq import make_deq
+    from deqsci_tpu.maps.admm_sci import make_admm_sci_step
+    from deqsci_tpu.nets.dncnn import DnCNN
+    from deqsci_tpu.ops.sensing import A, initial_point_admm, phi_sum
+
+    h = w = 16
+    t = 8
+    net = DnCNN(features=8, num_layers=3, use_bn=False)
+    variables = net.init(jax.random.key(0), jnp.zeros((1, h, w, 1)))
+    step = make_admm_sci_step(lambda p, x: net.apply(p, x), tag="denoiser")
+    deq = make_deq(step, m=5, lam=1e-2, max_iter=6, tol=1e-7,
+                   backward="passthrough")
+
+    gt = jnp.asarray(rng.random((1, h, w, t)).astype(np.float32))
+    Phi = jnp.asarray((rng.random((1, h, w, t)) > 0.5).astype(np.float32))
+    y = A(gt, Phi)
+    ps = phi_sum(Phi)
+
+    def loss(v):
+        z0 = initial_point_admm(y, Phi)
+        zbar, _u = deq(v, z0, (y, Phi, ps))
+        return jnp.mean((zbar - gt) ** 2)
+
+    g = jax.grad(loss)(variables)
+    total = sum(float(jnp.sum(jnp.abs(x)))
+                for x in jax.tree_util.tree_leaves(g))
+    assert total == 0.0
+
+    # ... while the neumann backward (what scripts/train_admm_r2.py uses)
+    # carries real signal through the same map:
+    deq_n = make_deq(step, m=5, lam=1e-2, max_iter=6, tol=1e-7,
+                     backward="neumann", neumann_k=5)
+
+    def loss_n(v):
+        z0 = initial_point_admm(y, Phi)
+        zbar, _u = deq_n(v, z0, (y, Phi, ps))
+        return jnp.mean((zbar - gt) ** 2)
+
+    gn = jax.grad(loss_n)(variables)
+    total_n = sum(float(jnp.sum(jnp.abs(x)))
+                  for x in jax.tree_util.tree_leaves(gn))
+    assert total_n > 0.0
+
+
+def test_grad_clip_optimizer_bounds_update():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from deqsci_tpu.train.loop import make_optimizer
+
+    params = {"w": jnp.zeros((4,))}
+    huge = {"w": jnp.full((4,), 1e8)}
+    opt = make_optimizer(1.0, grad_clip=1.0)
+    st = opt.init(params)
+    updates, _ = opt.update(huge, st, params)
+    # clipped to global norm 1 before Adam; the Adam step is bounded ~lr
+    assert float(jnp.max(jnp.abs(updates["w"]))) < 10.0
+    # lr injection still works
+    assert "learning_rate" in st.hyperparams
+
+
+def test_small_sigma_mixture_emphasizes_tiny_sigmas():
+    import jax
+    import jax.numpy as jnp
+
+    from deqsci_tpu.train.denoiser import small_sigma_mixture
+
+    sample = small_sigma_mixture(sigma_max=75.0 / 255.0, frac_small=0.5)
+    s = np.asarray(sample(jax.random.key(0), 4000, jnp.float32))
+    assert s.min() >= 0.0 and s.max() <= 75.0 / 255.0 + 1e-6
+    # uniform sampling puts ~2.7% below 2/255; the mixture puts >15% there
+    frac_tiny = float(np.mean(s < 2.0 / 255.0))
+    assert frac_tiny > 0.15
