@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global-norm gradient clip (0 = off, the "
                         "reference recipe); >0 stabilizes 180-iteration "
                         "equilibrium training")
+    p.add_argument("--shuffle", type=int, default=1,
+                   help="shuffle training samples each epoch (the "
+                   "reference's DataLoader(shuffle=True), "
+                   "video_sci_proxgrad.py:135); 0 = fixed order")
+    p.add_argument("--shuffle_seed", type=int, default=0)
     p.add_argument("--sigma_min", type=float, default=0.0,
                    help="floor for the FFDNet sigma schedule in [0,255] "
                    "units (0 = reference semantics: unbounded decay); "
@@ -178,10 +183,12 @@ def main(argv=None):
     # training
     deq = make_deq(step, **deq_kw, **solver_kw)
     from deqsci_tpu.dist.mesh import ProcessShardedDataset
-    base_dataset = ProcessShardedDataset(SCITrainingDataset(
-        os.path.join(args.trainpath, "gt/"),
-        os.path.join(args.trainpath, "measurement/"),
-        os.path.join(args.trainpath, "mask.mat")))
+    base_dataset = ProcessShardedDataset(
+        SCITrainingDataset(
+            os.path.join(args.trainpath, "gt/"),
+            os.path.join(args.trainpath, "measurement/"),
+            os.path.join(args.trainpath, "mask.mat")),
+        shuffle_seed=int(args.shuffle_seed) if int(args.shuffle) else None)
 
     if int(args.batch_size) > 1:
         bs = int(args.batch_size)

@@ -80,20 +80,31 @@ def process_shard(n: int, process_index: Optional[int] = None,
 
 
 class ProcessShardedDataset:
-    """Per-host contiguous shard of an indexable dataset.
+    """Per-host shard of an indexable dataset, optionally shuffled.
 
     The multi-host data-loading path: each process iterates only its
     ``process_shard`` slice and feeds its local devices; the global batch
     is assembled by the data-axis sharding. With one process (the
     single-host default) this is the identity wrapper, so the training CLI
     applies it unconditionally.
-    """
+
+    ``shuffle_seed`` restores the reference's ``DataLoader(shuffle=True)``
+    semantics (video_sci_proxgrad.py:135): every ``__iter__`` (= epoch)
+    draws a fresh permutation of the GLOBAL index set from
+    ``seed + epoch_counter``, then takes this process's contiguous slice
+    of the permuted order — every host permutes identically (same seed),
+    so the global epoch is a true permutation with no sample duplicated
+    or dropped across hosts. ``__getitem__`` is intentionally unshuffled
+    (stable random access for eval/debug)."""
 
     def __init__(self, dataset, process_index: Optional[int] = None,
-                 process_count: Optional[int] = None):
+                 process_count: Optional[int] = None,
+                 shuffle_seed: Optional[int] = None):
         self.dataset = dataset
         self.indices = process_shard(len(dataset), process_index,
                                      process_count)
+        self.shuffle_seed = shuffle_seed
+        self._epoch = 0
 
     def __len__(self) -> int:
         return len(self.indices)
@@ -102,5 +113,13 @@ class ProcessShardedDataset:
         return self.dataset[self.indices[i]]
 
     def __iter__(self):
-        for i in self.indices:
-            yield self.dataset[i]
+        if self.shuffle_seed is None:
+            for i in self.indices:
+                yield self.dataset[i]
+            return
+        import numpy as np
+        perm = np.random.default_rng(
+            self.shuffle_seed + self._epoch).permutation(len(self.dataset))
+        self._epoch += 1
+        for i in perm[self.indices.start:self.indices.stop]:
+            yield self.dataset[int(i)]

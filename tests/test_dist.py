@@ -84,3 +84,31 @@ def test_process_sharded_dataset_partitions_exactly():
 
     ident = ProcessShardedDataset(data, process_index=0, process_count=1)
     assert list(ident) == data
+
+
+def test_process_sharded_dataset_shuffles_globally():
+    """Reference parity (video_sci_proxgrad.py:135 shuffle=True): each
+    epoch is a fresh global permutation; all hosts permute identically so
+    the union of per-host epochs is an exact cover with no duplicates."""
+    from deqsci_tpu.dist.mesh import ProcessShardedDataset
+
+    data = list(range(23))
+    shards = [ProcessShardedDataset(data, process_index=pi, process_count=4,
+                                    shuffle_seed=7) for pi in range(4)]
+    epoch1 = [list(s) for s in shards]
+    epoch2 = [list(s) for s in shards]
+
+    flat1 = [x for part in epoch1 for x in part]
+    flat2 = [x for part in epoch2 for x in part]
+    assert sorted(flat1) == data and sorted(flat2) == data  # exact cover
+    assert flat1 != data          # actually shuffled
+    assert flat1 != flat2         # fresh permutation per epoch
+
+    # deterministic given the seed
+    again = [list(ProcessShardedDataset(data, process_index=pi,
+                                        process_count=4, shuffle_seed=7))
+             for pi in range(4)]
+    assert [x for p in again for x in p] == flat1
+
+    # random access stays unshuffled (stable for eval/debug)
+    assert [shards[0][i] for i in range(len(shards[0]))] == list(range(5))
