@@ -55,14 +55,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "(split2 bf16, production default, -0.003 dB vs "
                         "'high' at 1.25x speed), 'high' (3-pass bf16), "
                         "'highest' (true fp32, oracle studies)")
-    p.add_argument("--backward", default="solver",
+    p.add_argument("--backward", default=None,
                    choices=["solver", "neumann", "passthrough"],
                    help="DEQ gradient scheme: 'solver' = exact IFT "
                         "(reference DEQFixedPoint), 'neumann' = truncated "
                         "Neumann series (DEQFixedPointNeumann, "
                         "new_equilibrium_utils_yaping.py:331-365 — bounded "
-                        "gradients for long-horizon training)")
+                        "gradients for long-horizon training). Unset = the "
+                        "reference default for the chosen solver: 'solver' "
+                        "for gap, 'passthrough' for admm (the reference's "
+                        "hook-disabled DEQFixedPointADMM — which has "
+                        "exactly zero parameter gradient; pass an explicit "
+                        "--backward to actually train ADMM)")
     p.add_argument("--neumann_k", type=int, default=10)
+    p.add_argument("--skip_loss_threshold", type=float, default=0.0,
+                   help="discard the update of any batch whose loss "
+                   "exceeds this (0 = off, reference semantics); guards "
+                   "long-horizon training against diverged-solve outliers")
     p.add_argument("--grad_clip", type=float, default=0.0,
                    help="global-norm gradient clip (0 = off, the "
                         "reference recipe); >0 stabilizes 180-iteration "
@@ -78,6 +87,31 @@ def build_parser() -> argparse.ArgumentParser:
                    "stabilizes long solves with denoisers that are not "
                    "contractive at tiny sigma")
     return p
+
+
+def resolve_backward(sci_solver: str, backward, neumann_k: int,
+                     inference: bool) -> dict:
+    """Map the --backward flag to make_deq kwargs.
+
+    Unset (None) means the reference default for the chosen iteration map:
+    exact-IFT 'solver' for gap (DEQFixedPoint), 'passthrough' for admm
+    (the hook-disabled DEQFixedPointADMM,
+    new_equilibrium_utils_yaping.py:414-451 — zero parameter gradient).
+    An explicit value is always honored (round-3 fix: '--backward solver'
+    with admm used to be silently rewritten to passthrough)."""
+    if sci_solver == "admm":
+        if backward is None:
+            if not inference:
+                print("WARNING: --sci_solver admm defaults to the "
+                      "reference's hook-disabled backward (zero parameter "
+                      "gradient — training is a no-op); pass --backward "
+                      "solver or --backward neumann to train ADMM",
+                      flush=True)
+            return dict(backward="passthrough")
+        return dict(backward=backward, neumann_k=int(neumann_k))
+    if backward is not None and backward != "solver":
+        return dict(backward=backward, neumann_k=int(neumann_k))
+    return {}
 
 
 def main(argv=None):
@@ -106,22 +140,16 @@ def main(argv=None):
         step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag)
         recon_kw = dict(init_fn=initial_point_admm,
                         output_fn=lambda c: c[0])
-        # reference DEQFixedPointADMM has its backward hook disabled
-        # (lines 414-451): gradients flow through the re-attach step only
-        deq_kw = dict(backward="passthrough")
-        if args.backward != "solver":
-            deq_kw = dict(backward=args.backward,
-                          neumann_k=int(args.neumann_k))
+        deq_kw = resolve_backward("admm", args.backward,
+                                  args.neumann_k, inference)
     else:
         gap_kw = {}
         if args.sigma_min:
             gap_kw["sigma_min"] = float(args.sigma_min) / 255.0
         step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag, **gap_kw)
         recon_kw = {}
-        deq_kw = {}
-        if args.backward != "solver":
-            deq_kw = dict(backward=args.backward,
-                          neumann_k=int(args.neumann_k))
+        deq_kw = resolve_backward("gap", args.backward,
+                                  args.neumann_k, inference)
 
     load_location = args.loadpath
     if args.sigma:
@@ -235,6 +263,7 @@ def main(argv=None):
                         output_fn=lambda c: c[0])
     return train_solver_sci(
         deq, variables, dataset, grad_clip=float(args.grad_clip),
+        skip_loss_threshold=float(args.skip_loss_threshold),
         n_epochs=int(args.n_epochs), base_lr=float(args.lr),
         sched_step=int(args.sched_step), lr_gamma=float(args.lr_gamma),
         start_epoch=start_epoch, eval_fn=eval_fn, save_fn=save_fn,

@@ -156,7 +156,13 @@ def prepare_patches(files: Sequence[str], out_h5: str,
                 for p in pats:
                     if n >= max_patches:
                         break
-                    data = data_augmentation(p, int(rng.integers(0, 8)))
+                    # reference draws np.random.randint(0, 7) — EXCLUSIVE
+                    # high, so base modes are 0..6 and mode 7 (rot270 +
+                    # flip) is never drawn (dataset.py:110); matched here.
+                    # Key layout also matches dataset.py:108-117: the
+                    # index increments per augmented patch too, and aug
+                    # keys use the incremented index with an _aug_ suffix.
+                    data = data_augmentation(p, int(rng.integers(0, 7)))
                     h5f.create_dataset(str(n), data=data)
                     n += 1
                     for mx in range(aug_times - 1):

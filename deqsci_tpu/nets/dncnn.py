@@ -176,10 +176,11 @@ class DnCNN(nn.Module):
                                  momentum=0.9, epsilon=1e-5,
                                  name=f"bn{i}")(x)
             x = nn.relu(x)
-            if packed:
+            # the head consumes f32, so the final body layer skips the
+            # pack (a split_pack/unpack_sum round-trip would only add one
+            # lo-part rounding; round-3 advisor fix)
+            if packed and i < self.num_layers - 2:
                 x = split_pack(x)
-        if packed:
-            x = unpack_sum(x)
         head = f"conv{self.num_layers - 1}"
         if self.fast_head and self.channels <= 8:
             return StencilHeadConv(self.channels, name=head)(x)

