@@ -69,7 +69,8 @@ def _flagship_weights():
     import orbax.checkpoint as ocp
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    for name in ("ffdnet_r2", "ffdnet_r2_curr", "ffdnet_demo_ft"):
+    for name in ("ffdnet_r3", "ffdnet_r2", "ffdnet_r2_curr",
+                 "ffdnet_demo_ft"):
         path = os.path.join(repo, "models", name)
         if os.path.isdir(path):
             snap = ocp.StandardCheckpointer().restore(os.path.abspath(path))
@@ -110,12 +111,35 @@ def main():
               "vs_baseline": (round(vs_baseline, 2) if vs_baseline
                               else None)}
 
+    # latency companion numbers (VERDICT r2 weak #6): the throughput above
+    # is warm steady-state; single-clip callers also care about
+    # cold-start (first call = compile + run through the tunnel) and the
+    # warm per-solve latency of ONE snapshot.
+    import jax.numpy as jnp
+    meas1, mask1 = clips[0][0][:1], clips[0][1]
+    lat_recon = make_reconstructor(step, m=5, lam=1e-2, beta=1.0,
+                                   max_iter=100, tol=1e-5)
+    t0 = time.time()
+    float(jnp.sum(lat_recon(variables, meas1, mask1)))
+    result["cold_start_s"] = round(time.time() - t0, 2)
+    lats = []
+    for _ in range(5):
+        t0 = time.time()
+        float(jnp.sum(lat_recon(variables, meas1, mask1)))
+        lats.append(time.time() - t0)
+    result["warm_snapshot_latency_ms"] = round(min(lats) * 1e3, 1)
+
     # flagship: DE-GAP-FFDNet, 180 iterations (test_ffdnet.sh config)
     ffd_vars, ffd_name = _flagship_weights()
     if ffd_vars is not None:
+        from deqsci_tpu.nets.dncnn import fold_batchnorm
         from deqsci_tpu.nets.ffdnet import FFDNet
 
-        ffdnet = FFDNet(in_channels=1)
+        # BN-fold: measured 5.6% faster per solve iteration at neutral
+        # quality (scripts/ffdnet_layer_profile.py) — production default
+        # for the throughput path.
+        ffdnet = FFDNet(in_channels=1, bn_fold=True)
+        ffd_vars = fold_batchnorm(ffd_vars)
         fstep = make_gap_sci_step(
             lambda p, x, s: ffdnet.apply(p, x, s), tag="ffdnet")
         frecon = make_reconstructor(fstep, m=5, lam=1e-2, beta=1.0,
@@ -124,7 +148,7 @@ def main():
             _throughput(frecon, ffd_vars, clips), 3)
         result["flagship_unit"] = "frames/sec/chip"
         result["flagship_config"] = (
-            f"DE-GAP-FFDNet maxiter=180 weights={ffd_name}")
+            f"DE-GAP-FFDNet maxiter=180 weights={ffd_name} fold_bn")
 
     print(json.dumps(result))
 

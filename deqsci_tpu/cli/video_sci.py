@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "exactly zero parameter gradient; pass an explicit "
                         "--backward to actually train ADMM)")
     p.add_argument("--neumann_k", type=int, default=10)
+    p.add_argument("--fold_bn", type=int, default=0,
+                   help="inference only: fold the denoiser's inference "
+                   "BatchNorms into the adjacent conv kernels at weight "
+                   "load (pure affine; also pre-scales the packed bf16 "
+                   "weights). BN-carrying denoisers (ffdnet, DnCNN) only")
     p.add_argument("--skip_loss_threshold", type=float, default=0.0,
                    help="discard the update of any batch whose loss "
                    "exceeds this (0 = off, reference semantics); guards "
@@ -133,7 +138,10 @@ def main(argv=None):
 
     print("devices:", jax.devices(), flush=True)
 
-    spec = build_denoiser(args.denoiser, precision=args.precision)
+    fold_bn = bool(int(args.fold_bn)) and inference and \
+        args.denoiser in ("ffdnet", "DnCNN", "RealSN_DnCNN", "dncnn_norm")
+    spec = build_denoiser(args.denoiser, precision=args.precision,
+                          bn_fold=fold_bn)
     if args.sci_solver == "admm":
         from deqsci_tpu.maps.admm_sci import make_admm_sci_step
         from deqsci_tpu.ops.sensing import initial_point_admm
@@ -178,6 +186,12 @@ def main(argv=None):
         if load_location:
             print(f"loadpath {load_location} not found; "
                   "using random init", flush=True)
+
+    if fold_bn and any(k.startswith("bn")
+                       for k in variables.get("params", {})):
+        from deqsci_tpu.nets.dncnn import fold_batchnorm
+        variables = fold_batchnorm(variables)
+        print("folded inference BatchNorms into conv kernels", flush=True)
 
     solver_kw = dict(m=int(args.and_m), beta=float(args.and_beta),
                      lam=1e-2, max_iter=int(args.and_maxiters), tol=1e-5)

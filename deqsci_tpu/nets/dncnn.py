@@ -80,7 +80,8 @@ _packed_conv.defvjp(_packed_conv_fwd, _packed_conv_bwd)
 
 
 class PackedBodyConv(nn.Module):
-    """3x3 bias-free conv evaluated in the packed-split2 scheme.
+    """3x3 conv evaluated in the packed-split2 scheme (bias-free unless
+    ``use_bias`` — the BN-folded inference path).
 
     Consumes a packed (..., 2C) bf16 activation, contracts hi and lo parts
     against the SAME bf16-rounded kernel in ONE 2C-input-channel conv
@@ -95,6 +96,7 @@ class PackedBodyConv(nn.Module):
     """
 
     features: int
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -103,7 +105,13 @@ class PackedBodyConv(nn.Module):
                             (3, 3, c, self.features))
         wb = kernel.astype(jnp.bfloat16)
         wcat = jnp.concatenate([wb, wb], axis=2)     # (3, 3, 2C, Co)
-        return _packed_conv(z, wcat)
+        y = _packed_conv(z, wcat)
+        if self.use_bias:
+            # bias stays f32, added to the f32 accumulator (folded-BN
+            # shift is NOT bf16-rounded)
+            y = y + self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+        return y
 
 
 class FastInputConv(nn.Module):
@@ -135,6 +143,33 @@ class StencilHeadConv(nn.Module):
         return conv3x3_small_cout_depthwise(x, kernel)
 
 
+def fold_batchnorm(variables, eps: float = 1e-5):
+    """Fold inference-mode BatchNorms into the adjacent conv kernels.
+
+    For every ``bn{i}``/``conv{i}`` pair (DnCNN/FFDNet body layout,
+    reference networks/ffdnet/models.py:27-68), inference BN is the pure
+    affine ``y = s*h + b`` with ``s = gamma/sqrt(var+eps)`` and
+    ``b = beta - s*mean``; folding scales the conv kernel per OUTPUT
+    channel (HWIO: last axis) in f32 — which also pre-scales the bf16
+    packed weights before their single rounding — and moves the shift
+    into a conv bias. Returns variables for the ``bn_fold=True`` module
+    (inference only: running stats are frozen by construction).
+    """
+    params = dict(variables["params"])
+    stats = variables.get("batch_stats", {})
+    for name in [n for n in params if n.startswith("bn")]:
+        conv = "conv" + name[2:]
+        gamma = params[name]["scale"]
+        beta = params[name]["bias"]
+        mean = stats[name]["mean"]
+        var = stats[name]["var"]
+        s = gamma / jnp.sqrt(var + eps)
+        params[conv] = {"kernel": params[conv]["kernel"] * s,
+                        "bias": beta - s * mean}
+        del params[name]
+    return {"params": params}
+
+
 class DnCNN(nn.Module):
     """Bias-free conv stack: conv-relu, (layers-2) x [conv (bn) relu], conv.
 
@@ -153,12 +188,14 @@ class DnCNN(nn.Module):
     use_bn: bool = False
     precision: str = "packed"
     fast_head: bool = True
+    bn_fold: bool = False  # inference-only: load fold_batchnorm() params
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         packed = self.precision == "packed"
-        conv = lambda feats, name: nn.Conv(
-            feats, (3, 3), padding="SAME", use_bias=False, name=name,
+        folded = self.use_bn and self.bn_fold
+        conv = lambda feats, name, bias=False: nn.Conv(
+            feats, (3, 3), padding="SAME", use_bias=bias, name=name,
             precision="high" if packed else self.precision)
         if self.fast_head and x.shape[-1] == 1:
             x = nn.relu(FastInputConv(self.features, name="conv0")(x))
@@ -168,10 +205,11 @@ class DnCNN(nn.Module):
             x = split_pack(x)
         for i in range(1, self.num_layers - 1):
             if packed:
-                x = PackedBodyConv(self.features, name=f"conv{i}")(x)
+                x = PackedBodyConv(self.features, name=f"conv{i}",
+                                   use_bias=folded)(x)
             else:
-                x = conv(self.features, f"conv{i}")(x)
-            if self.use_bn:
+                x = conv(self.features, f"conv{i}", bias=folded)(x)
+            if self.use_bn and not folded:
                 x = nn.BatchNorm(use_running_average=not train,
                                  momentum=0.9, epsilon=1e-5,
                                  name=f"bn{i}")(x)

@@ -49,6 +49,8 @@ class FFDNet(nn.Module):
     in_channels: int = 1
     precision: str = "packed"
     fast_head: bool = True
+    bn_fold: bool = False  # inference-only: load dncnn.fold_batchnorm()
+    # params — the 13 body BNs become conv scale+bias (VERDICT r2 lever)
 
     @property
     def _cfg(self):
@@ -70,8 +72,8 @@ class FFDNet(nn.Module):
         y = jnp.concatenate([noise_map, down], axis=-1)
 
         packed = self.precision == "packed"
-        conv = lambda feats, name: nn.Conv(
-            feats, (3, 3), padding="SAME", use_bias=False, name=name,
+        conv = lambda feats, name, bias=False: nn.Conv(
+            feats, (3, 3), padding="SAME", use_bias=bias, name=name,
             precision="high" if packed else self.precision)
         y = nn.relu(conv(cfg["feats"], "conv0")(y))
         if packed:
@@ -79,11 +81,14 @@ class FFDNet(nn.Module):
             y = split_pack(y)
         for i in range(1, cfg["layers"] - 1):
             if packed:
-                y = PackedBodyConv(cfg["feats"], name=f"conv{i}")(y)
+                y = PackedBodyConv(cfg["feats"], name=f"conv{i}",
+                                   use_bias=self.bn_fold)(y)
             else:
-                y = conv(cfg["feats"], f"conv{i}")(y)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name=f"bn{i}")(y)
+                y = conv(cfg["feats"], f"conv{i}", bias=self.bn_fold)(y)
+            if not self.bn_fold:
+                y = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 name=f"bn{i}")(y)
             y = nn.relu(y)
             # final body layer feeds the f32 head directly — skip the
             # pack/unpack round-trip (round-3 advisor fix)

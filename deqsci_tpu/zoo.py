@@ -51,11 +51,14 @@ class DenoiserSpec:
 
 
 def build_denoiser(name: str, n_channels: int = 1,
-                   precision: str = "packed") -> DenoiserSpec:
+                   precision: str = "packed",
+                   bn_fold: bool = False) -> DenoiserSpec:
     """``precision``: conv scheme for the DnCNN/FFDNet families —
     'packed' (split2, the production default: -0.003 dB / 1.25x speed vs
     'high', see nets/dncnn.PackedBodyConv), 'high', or 'highest' (for
-    bitwise-level oracle comparisons)."""
+    bitwise-level oracle comparisons). ``bn_fold``: inference-only module
+    variant expecting nets/dncnn.fold_batchnorm() parameters (BN-carrying
+    families only)."""
     from deqsci_tpu.nets.dncnn import DnCNN
     from deqsci_tpu.nets.ffdnet import FFDNet
     from deqsci_tpu.nets.resnet import NBlockResNet
@@ -86,11 +89,12 @@ def build_denoiser(name: str, n_channels: int = 1,
                             tag="denoiser")
     if name == "ffdnet":
         return DenoiserSpec(FFDNet(in_channels=n_channels,
-                                   precision=precision), tag="ffdnet",
-                            needs_sigma=True)
+                                   precision=precision, bn_fold=bn_fold),
+                            tag="ffdnet", needs_sigma=True)
     if name in ("DnCNN", "RealSN_DnCNN", "dncnn_norm"):
         return DenoiserSpec(DnCNN(channels=n_channels, num_layers=17,
-                                  use_bn=True, precision=precision),
+                                  use_bn=True, precision=precision,
+                                  bn_fold=bn_fold),
                             tag="denoiser")
     if name in ("SimpleCNN", "RealSN_SimpleCNN"):
         return DenoiserSpec(DnCNN(channels=n_channels, num_layers=4,

@@ -1,0 +1,105 @@
+"""PSNR-vs-iteration-budget curve for a trained SCI operating point.
+
+VERDICT round-2 items #5 (DE-ADMM curve) and #8 (iteration-efficiency
+study): the benchmark solves burn the full budget without hitting tol,
+so quality-per-iteration is the real throughput frontier — this sweeps
+``max_iter`` and reports avg PSNR + suite frames/s at each budget, so
+the knee (e.g. 120 iterations) can be quoted alongside the 180-iteration
+protocol number.
+
+Usage:
+  python scripts/iter_budget_curve.py --model models/ffdnet_r3
+  python scripts/iter_budget_curve.py --model models/admm_cnn_r2 \
+      --solver admm --denoiser SimpleCNN --budgets 20,60,100,140,180
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFERENCE = "/root/reference"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="models/ffdnet_r3")
+    ap.add_argument("--denoiser", default="ffdnet")
+    ap.add_argument("--solver", default="gap", choices=["gap", "admm"])
+    ap.add_argument("--budgets", default="20,40,60,80,100,120,140,160,180,220")
+    ap.add_argument("--fold_bn", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from deqsci_tpu.data.sci_mat import SCITestDataset
+    from deqsci_tpu.recon import make_reconstructor
+    from deqsci_tpu.train.eval import evaluate_file
+    from deqsci_tpu.zoo import build_denoiser
+
+    spec = build_denoiser(args.denoiser, bn_fold=bool(args.fold_bn))
+    path = os.path.join(REPO, args.model)
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+        snap = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        variables = snap["params"] if "params" in snap else snap
+    else:
+        from deqsci_tpu.zoo import load_reference_weights
+        variables, _ = load_reference_weights(args.denoiser, path)
+    if args.fold_bn:
+        from deqsci_tpu.nets.dncnn import fold_batchnorm
+        variables = fold_batchnorm(variables)
+
+    if args.solver == "admm":
+        from deqsci_tpu.maps.admm_sci import make_admm_sci_step
+        from deqsci_tpu.ops.sensing import initial_point_admm
+        step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag)
+        recon_kw = dict(init_fn=initial_point_admm,
+                        output_fn=lambda c: c[0])
+    else:
+        from deqsci_tpu.maps.gap_sci import make_gap_sci_step
+        step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag)
+        recon_kw = {}
+
+    ds = list(SCITestDataset(os.path.join(REFERENCE, "data/test_gray")))
+    print(f"model={args.model} solver={args.solver} "
+          f"fold_bn={args.fold_bn}", flush=True)
+    print(f"{'iters':>6} {'avg dB':>8} {'drop8':>7} {'runner8':>7} "
+          f"{'traffic':>7} {'frames/s':>9}", flush=True)
+    for budget in (int(b) for b in args.budgets.split(",")):
+        recon = make_reconstructor(step, m=5, lam=1e-2, beta=1.0,
+                                   max_iter=budget, tol=1e-5, **recon_kw)
+        per = {}
+        frames = 0
+        # warm (compile) pass, then timed pass with host-fetch sync
+        for data in ds:
+            r = evaluate_file(recon, variables, data, compute_ssim=False)
+            per[data["file"]] = r["psnr"]
+        t0 = time.time()
+        checksum = jnp.float32(0)
+        for data in ds:
+            from deqsci_tpu.train.eval import (FIRST_SNAPSHOT_ONLY,
+                                               snapshots_of)
+            meas = snapshots_of(data["meas"])
+            if any(p in data["file"] for p in FIRST_SNAPSHOT_ONLY):
+                meas = meas[:1]
+            out = recon(variables, jnp.asarray(meas),
+                        jnp.asarray(data["mask"]))
+            checksum += jnp.sum(out)
+            frames += out.shape[0] * out.shape[-1]
+        float(checksum)
+        fps = frames / (time.time() - t0)
+        avg = float(np.mean(list(per.values())))
+        cells = [per.get(f"{n}_cacti.mat", float("nan"))
+                 for n in ("drop8", "runner8", "traffic")]
+        print(f"{budget:>6} {avg:>8.2f} "
+              + " ".join(f"{c:>7.2f}" for c in cells)
+              + f" {fps:>9.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -143,3 +143,63 @@ def test_packed_split2_is_differentiable(rng):
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_bn_fold_matches_inference_bn(rng):
+    """fold_batchnorm: the bn_fold module on folded params must reproduce
+    the inference-mode BN module exactly (pure affine algebra) in
+    'highest' precision, and closely in the packed scheme (the folded
+    kernel is scaled in f32 BEFORE its single bf16 rounding)."""
+    import jax
+    from deqsci_tpu.nets.dncnn import fold_batchnorm
+    from deqsci_tpu.nets.ffdnet import FFDNet
+
+    x = jnp.asarray(rng.random((2, 32, 32, 1)).astype(np.float32))
+    sigma = jnp.asarray([0.1, 0.02], jnp.float32)
+
+    net = FFDNet(in_channels=1, precision="highest")
+    variables = net.init(jax.random.key(3), x, sigma)
+    # non-trivial running stats / affine params
+    variables = jax.tree.map(lambda a: a, variables)
+    stats = jax.tree.map(
+        lambda a: a + jnp.asarray(
+            np.abs(np.random.default_rng(1).random(a.shape)) + 0.1,
+            a.dtype), variables["batch_stats"])
+    params = variables["params"]
+    variables = {"params": params, "batch_stats": stats}
+
+    ref = net.apply(variables, x, sigma)
+    folded = fold_batchnorm(variables)
+    assert "batch_stats" not in folded
+    assert all(not k.startswith("bn") for k in folded["params"])
+    out = FFDNet(in_channels=1, precision="highest",
+                 bn_fold=True).apply(folded, x, sigma)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+    ref_p = FFDNet(in_channels=1, precision="packed").apply(
+        variables, x, sigma)
+    out_p = FFDNet(in_channels=1, precision="packed",
+                   bn_fold=True).apply(folded, x, sigma)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref_p),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_bn_fold_dncnn17(rng):
+    """fold_batchnorm generalizes to the 17-layer BN DnCNN family."""
+    import jax
+    from deqsci_tpu.nets.dncnn import DnCNN, fold_batchnorm
+
+    x = jnp.asarray(rng.random((1, 24, 24, 1)).astype(np.float32))
+    net = DnCNN(channels=1, num_layers=6, use_bn=True, precision="highest")
+    variables = net.init(jax.random.key(0), x)
+    stats = jax.tree.map(
+        lambda a: a + jnp.asarray(
+            np.abs(np.random.default_rng(2).random(a.shape)) + 0.05,
+            a.dtype), variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+    ref = net.apply(variables, x)
+    out = DnCNN(channels=1, num_layers=6, use_bn=True, precision="highest",
+                bn_fold=True).apply(fold_batchnorm(variables), x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
