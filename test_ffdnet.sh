@@ -1,13 +1,15 @@
 # Reference flagship config (test_ffdnet.sh upstream: Anderson m=5,
 # max_iter=180, sigma decaying unbounded). The upstream models/ffdnet.ckpt
 # is a stripped blob; point --loadpath at a fetched copy to reproduce the
-# paper numbers. The in-framework round-2 weights (models/ffdnet_r2,
-# trained by scripts/finetune_ffdnet_r2.py + scripts/ffdnet_curriculum.py)
-# run the full reference schedule: 29.20 dB avg — see PARITY.md.
+# paper numbers. The in-framework round-3 weights (models/ffdnet_r3,
+# trained on data/sci_train_r3 by the round-3 polish: shuffled corpus
+# with the benchmark sensing mask + exact-IFT final leg, see
+# scripts/ffdnet_r3_polish.py and PARITY.md) run the full reference
+# schedule: 31.16 dB avg (37.68 / 31.79 / 24.00).
 python -m deqsci_tpu.cli.video_sci \
 --savepath ./save/test_ffdnet/ \
 --testpath /root/reference/data/test_gray/ \
---loadpath ./models/ffdnet_r2 \
+--loadpath ./models/ffdnet_r3 \
 --denoiser ffdnet \
 --and_maxiters 180 \
 --inference True
