@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--trainpath", default="data/sci_train_r3")
     ap.add_argument("--lr", default="3e-5")
     ap.add_argument("--out", default="admm_cnn_r3")
+    ap.add_argument("--denoiser", default="SimpleCNN",
+                    help="zoo name; 'ffdnet' trains DE-ADMM-FFDNet from a "
+                         "GAP-trained init (e.g. --init models/ffdnet_r3)")
+    ap.add_argument("--batch_size", type=int, default=4)
     args = ap.parse_args()
 
     from deqsci_tpu.cli import video_sci
@@ -46,10 +50,10 @@ def main():
     best_overall, best_ckpt = -1e9, load
     for li, spec in enumerate(args.legs.split(",")):
         maxiter, eps = (int(v) for v in spec.split(":"))
-        save = os.path.join(REPO, f"save/admm_r3_leg{li}_it{maxiter}")
+        save = os.path.join(REPO, f"save/{args.out}_leg{li}_it{maxiter}")
         n_epochs = snap_epoch(load) + 1 + eps
         argv = ["--sci_solver", "admm",
-                "--denoiser", "SimpleCNN",
+                "--denoiser", args.denoiser,
                 "--backward", "neumann", "--neumann_k", "20",
                 "--grad_clip", "0.5",
                 "--skip_loss_threshold", "0.03",
@@ -59,7 +63,7 @@ def main():
                 "--savepath", save,
                 "--and_maxiters", str(maxiter),
                 "--n_epochs", str(n_epochs),
-                "--batch_size", "4",
+                "--batch_size", str(args.batch_size),
                 "--lr", args.lr, "--sched_step", "1000000",
                 "--save_every_n_steps", "75",
                 "--print_every_n_steps", "25"]

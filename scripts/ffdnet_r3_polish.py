@@ -45,6 +45,17 @@ def main():
     ap.add_argument("--trainpath", default="data/sci_train_r3")
     ap.add_argument("--out", default="ffdnet_r3")
     ap.add_argument("--tag", default="p")
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--save_every", type=int, default=150,
+                    help="eval/best-ckpt density in steps (dense evals are "
+                         "cheap: one eval ~= 7 s vs ~2.5 s/train step)")
+    ap.add_argument("--seed_base", type=int, default=0,
+                    help="per-leg shuffle seed = seed_base + leg index, so "
+                         "restarted walks explore fresh data orders")
+    ap.add_argument("--floor", type=float, default=0.0,
+                    help="only consolidate models/<out> if the walk's best "
+                         "eval beats this (set to the incumbent's score so "
+                         "a flat walk cannot regress the shipped weights)")
     args = ap.parse_args()
 
     from deqsci_tpu.cli import video_sci
@@ -64,7 +75,9 @@ def main():
                 "--savepath", save,
                 "--and_maxiters", str(args.maxiter),
                 "--n_epochs", str(n_epochs),
-                "--save_every_n_steps", "150",
+                "--batch_size", str(args.batch_size),
+                "--shuffle_seed", str(args.seed_base + li),
+                "--save_every_n_steps", str(args.save_every),
                 "--print_every_n_steps", "50",
                 "--lr", str(lr), "--sched_step", "1000000",
                 "--backward", backward,
@@ -86,6 +99,10 @@ def main():
         load = best_ckpt
 
     print(f"global best: {best_score:.2f} dB at {best_ckpt}", flush=True)
+    if best_score <= args.floor:
+        print(f"best {best_score:.2f} <= floor {args.floor:.2f}; leaving "
+              f"models/{args.out} untouched", flush=True)
+        return
     import numpy as np
     import orbax.checkpoint as ocp
     from deqsci_tpu.io.checkpoint import CheckpointManager

@@ -52,17 +52,25 @@ def test_training_dataset_layout(tmp_path):
     out = tmp_path / "train"
     r = subprocess.run(
         [sys.executable, "scripts/make_sci_train_data.py", "--out",
-         str(out)], capture_output=True, text=True,
+         str(out), "--gt_augment", "2", "--synthetic", "1",
+         "--mask", "bench"], capture_output=True, text=True,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr
 
     from deqsci_tpu.data.sci_mat import SCITrainingDataset
     ds = SCITrainingDataset(str(out / "gt"), str(out / "measurement"),
                             str(out / "mask.mat"))
-    assert len(ds) == 8  # 64 gt frames / 8
-    s = ds[0]
-    assert s["gt"].shape == (256, 256, 8)
-    assert s["meas"].shape == (256, 256)
-    # measurement consistency: meas == sum(gt * mask)
-    np.testing.assert_allclose(
-        s["meas"], np.sum(s["gt"] * s["mask"], -1), rtol=1e-4, atol=1e-4)
+    assert len(ds) == 11  # 8 original snapshots + 2 augmented + 1 synthetic
+    for i in range(len(ds)):
+        s = ds[i]
+        assert s["gt"].shape == (256, 256, 8)
+        assert s["meas"].shape == (256, 256)
+        assert 0.0 <= s["gt"].min() and s["gt"].max() <= 1.0 + 1e-6
+        # measurement consistency: meas == sum(gt * mask)
+        np.testing.assert_allclose(
+            s["meas"], np.sum(s["gt"] * s["mask"], -1), rtol=1e-4, atol=1e-4)
+    # --mask bench: the corpus sensing mask IS the benchmark camera mask
+    from deqsci_tpu.data.sci_mat import SCITestDataset
+    bench_mask = next(iter(SCITestDataset(
+        "/root/reference/data/test_gray")))["mask"]
+    np.testing.assert_allclose(ds[0]["mask"], bench_mask, atol=1e-6)
