@@ -61,7 +61,10 @@ def main():
     from deqsci_tpu.cli import video_sci
 
     load = os.path.join(REPO, args.init)
-    best_score, best_ckpt = -1e9, load
+    # seed the incumbent's score: without this, a diverged FIRST leg
+    # (whose best eval may be 20 dB) would still beat -1e9 and become the
+    # init of every later leg, poisoning the whole walk
+    best_score, best_ckpt = args.floor, load
     for li, spec in enumerate(args.legs.split(",")):
         parts = spec.split(":")
         backward, lr, eps = parts[0], float(parts[1]), int(parts[2])
