@@ -142,19 +142,19 @@ def main(argv=None):
         args.denoiser in ("ffdnet", "DnCNN", "RealSN_DnCNN", "dncnn_norm")
     spec = build_denoiser(args.denoiser, precision=args.precision,
                           bn_fold=fold_bn)
+    sigma_kw = {}
+    if args.sigma_min:
+        sigma_kw["sigma_min"] = float(args.sigma_min) / 255.0
     if args.sci_solver == "admm":
         from deqsci_tpu.maps.admm_sci import make_admm_sci_step
         from deqsci_tpu.ops.sensing import initial_point_admm
-        step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag)
+        step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag, **sigma_kw)
         recon_kw = dict(init_fn=initial_point_admm,
                         output_fn=lambda c: c[0])
         deq_kw = resolve_backward("admm", args.backward,
                                   args.neumann_k, inference)
     else:
-        gap_kw = {}
-        if args.sigma_min:
-            gap_kw["sigma_min"] = float(args.sigma_min) / 255.0
-        step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag, **gap_kw)
+        step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag, **sigma_kw)
         recon_kw = {}
         deq_kw = resolve_backward("gap", args.backward,
                                   args.neumann_k, inference)

@@ -20,7 +20,7 @@ The reference never wires this map to an entry script (it is only importable
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
+from typing import Any, Optional
 
 import jax.numpy as jnp
 
@@ -32,22 +32,41 @@ from deqsci_tpu.ops.sensing import A, At
 
 @dataclasses.dataclass(frozen=True)
 class AdmmSCI:
-    """ADMM-SCI step over carry pytree ``(z, u)``."""
+    """ADMM-SCI step over carry pytree ``(z, u)``.
+
+    The ``ffdnet`` tag adds the GAP map's per-call-index sigma schedule
+    (sigma0 x decay^k, optionally floored) to the ADMM family. The
+    reference's ADMM map has NO sigma path at all — its forward only
+    switches on ``conv3d`` (equilibrium_solvers_yaping.py:455-462), so
+    DE-ADMM-FFDNet is unreachable upstream; here the sigma-conditioned
+    denoiser composes with the ADMM carry exactly as it does with GAP.
+    """
 
     denoise: DenoiseApply
     tag: str
+    sigma0: float = 60.0 / 255.0
+    sigma_decay: float = 0.971
+    sigma_min: Optional[float] = None
 
     def __post_init__(self):
         if self.tag not in ALL_TAGS:
             raise ValueError(f"unknown nonlinear_op tag: {self.tag!r}")
 
-    def _apply_denoiser(self, params, x):
+    def _apply_denoiser(self, params, x, k):
         b = x.shape[0]
         if self.tag == "conv2d":
             return batch_to_frames(self.denoise(params, frames_to_batch(x)), b)
         if self.tag == "denoiser":
             return x - batch_to_frames(
                 self.denoise(params, frames_to_batch(x)), b)
+        if self.tag == "ffdnet":
+            xb = frames_to_batch(x)
+            sigma = self.sigma0 * jnp.power(
+                jnp.asarray(self.sigma_decay, x.dtype), k.astype(x.dtype))
+            if self.sigma_min is not None:
+                sigma = jnp.maximum(sigma, self.sigma_min)
+            sigma = jnp.full((xb.shape[0],), sigma, dtype=x.dtype)
+            return x - batch_to_frames(self.denoise(params, xb, sigma), b)
         if self.tag == "conv3d":
             return volume_to_frames(self.denoise(params, frames_to_volume(x)))
         if self.tag == "3d_denoiser":
@@ -56,7 +75,6 @@ class AdmmSCI:
         raise ValueError(self.tag)
 
     def __call__(self, params: Any, carry, k: jnp.ndarray, args):
-        del k
         z, u = carry
         y, Phi, Phi_sum = args
 
@@ -64,10 +82,11 @@ class AdmmSCI:
         fb = A(zu, Phi)
         zbar = zu + At((y - fb) / (Phi_sum + 1e-8), Phi)
 
-        z_new = self._apply_denoiser(params, zbar - u)
+        z_new = self._apply_denoiser(params, zbar - u, k)
         u_new = u - (zbar - z_new)
         return zbar, u_new
 
 
-def make_admm_sci_step(denoise: DenoiseApply, tag: str) -> AdmmSCI:
-    return AdmmSCI(denoise=denoise, tag=tag)
+def make_admm_sci_step(denoise: DenoiseApply, tag: str,
+                       **sigma_kw) -> AdmmSCI:
+    return AdmmSCI(denoise=denoise, tag=tag, **sigma_kw)

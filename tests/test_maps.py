@@ -81,6 +81,47 @@ def test_admm_sci_through_deq(rng):
     assert err < err0
 
 
+def test_admm_sci_ffdnet_sigma_schedule(rng):
+    """The ADMM map's 'ffdnet' tag applies the SAME per-call-index sigma
+    schedule as the GAP map (60/255 x 0.971^k, optional floor) — the
+    reference ADMM map has no sigma path at all
+    (equilibrium_solvers_yaping.py:455-462), so this is schedule parity
+    against the GAP semantics, not a torch oracle."""
+    h = w = 16
+    t = 8
+    gt = jnp.asarray(rng.random((1, h, w, t)).astype(np.float32))
+    Phi = jnp.asarray((rng.random((1, h, w, t)) > 0.5).astype(np.float32))
+    y = A(gt, Phi)
+    ps = phi_sum(Phi)
+
+    seen = []
+
+    def spy_denoise(params, x, sigma):
+        seen.append(np.asarray(sigma))
+        return jnp.zeros_like(x)
+
+    step = make_admm_sci_step(spy_denoise, tag="ffdnet")
+    carry = initial_point_admm(y, Phi)
+    for k in (0, 1, 7, 179):
+        step({}, carry, jnp.int32(k), (y, Phi, ps))
+        expect = 60.0 / 255.0 * 0.971 ** k
+        np.testing.assert_allclose(seen[-1], expect, rtol=1e-5)
+        assert seen[-1].shape == (t,)  # one sigma per unpacked frame
+
+    # floor variant
+    seen.clear()
+    step = make_admm_sci_step(spy_denoise, tag="ffdnet", sigma_min=0.1)
+    step({}, carry, jnp.int32(179), (y, Phi, ps))
+    np.testing.assert_allclose(seen[-1], 0.1, rtol=1e-6)
+
+    # residual semantics: zero noise estimate => z_new == zbar - u, so the
+    # dual update vanishes and the carry stays consistent
+    zbar, u_new = step({}, carry, jnp.int32(0), (y, Phi, ps))
+    z0, u0 = carry
+    np.testing.assert_allclose(np.asarray(u_new), np.asarray(u0) -
+                               np.asarray(u0), atol=1e-6)
+
+
 @pytest.mark.parametrize("maker", [make_proxgrad_net, make_grad_net,
                                    make_precond_neumann_net])
 def test_unrolled_nets_run_and_differentiate(blur_problem, maker):
