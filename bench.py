@@ -132,14 +132,15 @@ def main():
     # flagship: DE-GAP-FFDNet, 180 iterations (test_ffdnet.sh config)
     ffd_vars, ffd_name = _flagship_weights()
     if ffd_vars is not None:
-        from deqsci_tpu.nets.dncnn import fold_batchnorm
         from deqsci_tpu.nets.ffdnet import FFDNet
 
-        # BN-fold: measured 5.6% faster per solve iteration at neutral
-        # quality (scripts/ffdnet_layer_profile.py) — production default
-        # for the throughput path.
-        ffdnet = FFDNet(in_channels=1, bn_fold=True)
-        ffd_vars = fold_batchnorm(ffd_vars)
+        # BN-fold NOT applied: on the round-3 weights the fold costs
+        # 0.12 dB at 180 iterations (31.13 vs 31.25 — the packed bf16
+        # scheme re-rounds the pre-scaled kernels) for only +8% speed
+        # (9.54 vs 8.82 frames/s), so the bench reports the same
+        # unfolded configuration PARITY.md scores. Fold remains opt-in
+        # via --fold_bn for quality-tolerant serving.
+        ffdnet = FFDNet(in_channels=1)
         fstep = make_gap_sci_step(
             lambda p, x, s: ffdnet.apply(p, x, s), tag="ffdnet")
         frecon = make_reconstructor(fstep, m=5, lam=1e-2, beta=1.0,
@@ -148,7 +149,32 @@ def main():
             _throughput(frecon, ffd_vars, clips), 3)
         result["flagship_unit"] = "frames/sec/chip"
         result["flagship_config"] = (
-            f"DE-GAP-FFDNet maxiter=180 weights={ffd_name} fold_bn")
+            f"DE-GAP-FFDNet maxiter=180 weights={ffd_name}")
+
+    # best quality model in the zoo: DE-ADMM-CNN at its curve knee
+    # (100 iterations holds the 180-iteration plateau quality, 31.81 dB)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    admm_path = os.path.join(repo, "models", "admm_cnn_r3")
+    if os.path.isdir(admm_path):
+        import orbax.checkpoint as ocp
+        from deqsci_tpu.maps.admm_sci import make_admm_sci_step
+        from deqsci_tpu.ops.sensing import initial_point_admm
+
+        snap = ocp.StandardCheckpointer().restore(
+            os.path.abspath(admm_path))
+        avars = snap["params"] if "params" in snap else snap
+        anet = DnCNN(num_layers=4, use_bn=False)
+        astep = make_admm_sci_step(lambda p, x: anet.apply(p, x),
+                                   tag="denoiser")
+        arecon = make_reconstructor(astep, m=5, lam=1e-2, beta=1.0,
+                                    max_iter=100, tol=1e-5,
+                                    init_fn=initial_point_admm,
+                                    output_fn=lambda c: c[0])
+        result["best_model_value"] = round(
+            _throughput(arecon, avars, clips), 3)
+        result["best_model_unit"] = "frames/sec/chip"
+        result["best_model_config"] = (
+            "DE-ADMM-CNN maxiter=100 weights=admm_cnn_r3 (31.81 dB)")
 
     print(json.dumps(result))
 
