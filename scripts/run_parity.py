@@ -155,7 +155,18 @@ def main():
     if os.path.exists(extra):
         with open(extra) as f:
             lines.append(f.read())
-    with open(os.path.join(repo, "PARITY.md"), "w") as f:
+    # measurement notes and per-round results added by hand live BELOW
+    # the marker in the existing PARITY.md — regenerating the golden
+    # tables must not clobber them
+    marker = ("<!-- hand-maintained sections below: "
+              "preserved by scripts/run_parity.py -->")
+    parity_path = os.path.join(repo, "PARITY.md")
+    if os.path.exists(parity_path):
+        with open(parity_path) as f:
+            old = f.read()
+        if marker in old:
+            lines.append(old[old.index(marker):])
+    with open(parity_path, "w") as f:
         f.write("\n".join(lines))
     print("wrote PARITY.md and BASELINE_MEASURED.json", flush=True)
 
