@@ -74,3 +74,29 @@ def test_training_dataset_layout(tmp_path):
     bench_mask = next(iter(SCITestDataset(
         "/root/reference/data/test_gray")))["mask"]
     np.testing.assert_allclose(ds[0]["mask"], bench_mask, atol=1e-6)
+
+
+def test_zoo_manifest_models_restore():
+    """models/ZOO.json lists every shipped operating point; each entry's
+    checkpoint must exist and restore to a finite param pytree (guards
+    against a manifest/score drifting from the actual weights on disk)."""
+    import json
+
+    import orbax.checkpoint as ocp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "models", "ZOO.json")) as f:
+        zoo = json.load(f)
+    entries = {k: v for k, v in zoo.items() if not k.startswith("_")}
+    assert len(entries) >= 9
+    for name, meta in entries.items():
+        path = os.path.join(repo, "models", name)
+        assert os.path.isdir(path), f"missing checkpoint dir for {name}"
+        snap = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        params = snap["params"] if "params" in snap else snap
+        leaves = jax.tree_util.tree_leaves(params)
+        assert leaves, name
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves
+                   if np.asarray(l).dtype.kind == "f"), name
+        if meta.get("psnr_db") is not None:
+            assert 20.0 < meta["psnr_db"] < 45.0, name
