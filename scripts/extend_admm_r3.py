@@ -42,6 +42,13 @@ def main():
                     help="zoo name; 'ffdnet' trains DE-ADMM-FFDNet from a "
                          "GAP-trained init (e.g. --init models/ffdnet_r3)")
     ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--floor", type=float, default=0.0,
+                    help="only overwrite models/<out> if the final leg's "
+                         "best eval (at the target horizon) beats this — "
+                         "set to the shipped model's score so a diverged "
+                         "walk cannot regress it. Mid-walk legs eval at "
+                         "different budgets, so the guard applies only at "
+                         "consolidation.")
     args = ap.parse_args()
 
     from deqsci_tpu.cli import video_sci
@@ -81,6 +88,10 @@ def main():
             best_overall, best_ckpt = leg_best, cand
 
     print(f"final: {best_overall:.2f} dB at {best_ckpt}", flush=True)
+    if best_overall <= args.floor:
+        print(f"final {best_overall:.2f} <= floor {args.floor:.2f}; "
+              f"leaving models/{args.out} untouched", flush=True)
+        return
     import orbax.checkpoint as ocp
     from deqsci_tpu.io.checkpoint import CheckpointManager
     snap = ocp.StandardCheckpointer().restore(os.path.abspath(best_ckpt))
