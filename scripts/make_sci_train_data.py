@@ -173,6 +173,72 @@ def augmented_gt_clip(rng, sources, t=8, out_hw=256):
     return np.ascontiguousarray(clip).astype(np.float64)
 
 
+def hybrid_clip(rng, sources, t=8, out_hw=256):
+    """Real-background + synthetic-occluder composite (round-3d).
+
+    The polish walks on the r3b/r3c corpora went asymptotic ~0.1 dB below
+    the target with the verdict naming corpus REALISM as the binding
+    constraint. The two existing generators each miss an axis the
+    benchmarks have: augmented_gt_clip has natural texture but only the
+    source's own motion; synthetic_clip has occlusion + independent
+    motion but procedural texture. This composite takes an augmented
+    real-gt crop as the background and moves 1-3 textured occluders over
+    it with a mild camera warp — natural texture statistics AND
+    foreground/background occlusion motion in one clip (cf. the traffic
+    benchmark: moving cars over a static textured road).
+    """
+    import cv2
+
+    clip = augmented_gt_clip(rng, sources, t=t, out_hw=out_hw)  # (H,W,t)
+    h = w = out_hw
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+
+    shapes = []
+    for _ in range(rng.integers(1, 4)):
+        kind = rng.choice(["disc", "rect", "bar"])
+        cx, cy = rng.uniform(30, out_hw - 30, 2)
+        sv = rng.uniform(-7, 7, 2)
+        if kind == "disc":
+            geo = (rng.uniform(8, 50),)
+        elif kind == "rect":
+            geo = (rng.uniform(10, 55), rng.uniform(10, 55))
+        else:
+            geo = (rng.uniform(4, 14), rng.uniform(0, np.pi))
+        # occluder texture: either procedural or a patch of ANOTHER real
+        # clip (photometric realism for the foreground too)
+        if rng.random() < 0.5:
+            tex = _smooth_noise(rng, h, w, cells=(8, 16, 32))
+            tex = 0.5 + 0.35 * tex / (np.abs(tex).max() + 1e-6)
+        else:
+            other = augmented_gt_clip(rng, sources, t=1, out_hw=out_hw)
+            tex = other[..., 0]
+        shapes.append((kind, cx, cy, sv, geo, tex))
+
+    out = np.empty_like(clip)
+    for ti in range(t):
+        f = clip[..., ti].astype(np.float32)
+        for kind, cx, cy, sv, geo, tex in shapes:
+            px, py = cx + ti * sv[0], cy + ti * sv[1]
+            if kind == "disc":
+                m = ((xx - px) ** 2 + (yy - py) ** 2) < geo[0] ** 2
+            elif kind == "rect":
+                m = ((np.abs(xx - px) < geo[0] / 2)
+                     & (np.abs(yy - py) < geo[1] / 2))
+            else:
+                th = geo[1]
+                d = np.abs((xx - px) * np.sin(th) - (yy - py) * np.cos(th))
+                m = d < geo[0] / 2
+            Ms = np.array([[1.0, 0.0, -px + cx], [0.0, 1.0, -py + cy]],
+                          np.float32)
+            tex_t = cv2.warpAffine(tex.astype(np.float32), Ms, (w, h),
+                                   flags=cv2.INTER_LINEAR,
+                                   borderMode=cv2.BORDER_REFLECT)
+            f = np.where(m, tex_t, f)
+        out[..., ti] = np.clip(f, 0.0, 1.0)
+    return out.astype(np.float64)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="./data/sci_train")
@@ -183,6 +249,9 @@ def main():
     ap.add_argument("--gt_augment", type=int, default=0,
                     help="additionally generate N augmented multi-scale "
                     "crops of the bundled real gt videos")
+    ap.add_argument("--hybrid", type=int, default=0,
+                    help="additionally generate N real-background + "
+                    "moving-occluder composite clips")
     ap.add_argument("--mask", default="random", choices=["random", "bench"],
                     help="'bench' reuses the benchmark sensing mask (the "
                     "mask is fixed camera hardware in SCI — known at "
@@ -221,6 +290,9 @@ def main():
             n += 1
     for _ in range(args.gt_augment):
         write(augmented_gt_clip(rng, gt_videos), f"aug_{n:04d}.mat")
+        n += 1
+    for _ in range(args.hybrid):
+        write(hybrid_clip(rng, gt_videos), f"hyb_{n:04d}.mat")
         n += 1
     for _ in range(args.synthetic):
         write(synthetic_clip(rng), f"synth_{n:04d}.mat")
