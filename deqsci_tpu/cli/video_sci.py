@@ -251,6 +251,11 @@ def main(argv=None):
         dataset = _Batched()
     else:
         dataset = base_dataset
+    # decode the next batch on a host thread while the device runs the
+    # current step (the reference's DataLoader(num_workers=2) analog,
+    # video_sci_proxgrad.py:135) — hides the 64-220 ms/batch .mat decode
+    from deqsci_tpu.data.prefetch import PrefetchIterator
+    dataset = PrefetchIterator(dataset, depth=2)
     test_ds = SCITestDataset(args.testpath)
     recon = make_reconstructor(step, **recon_kw, **solver_kw)
 
