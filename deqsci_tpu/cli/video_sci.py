@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "reference's DataLoader(shuffle=True), "
                    "video_sci_proxgrad.py:135); 0 = fixed order")
     p.add_argument("--shuffle_seed", type=int, default=0)
+    p.add_argument("--self_ensemble", type=int, default=0,
+                   help="inference only: average the reconstructions of "
+                   "the 8 dihedral-transformed (meas, mask) problems (the "
+                   "SCI forward model is exactly equivariant; only "
+                   "denoiser bias differs). ~8x solve cost")
     p.add_argument("--sigma_min", type=float, default=0.0,
                    help="floor for the FFDNet sigma schedule in [0,255] "
                    "units (0 = reference semantics: unbounded decay); "
@@ -199,6 +204,10 @@ def main(argv=None):
     if inference:
         from deqsci_tpu.train.eval import evaluate_file
         recon = make_reconstructor(step, **recon_kw, **solver_kw)
+        if int(args.self_ensemble):
+            from deqsci_tpu.recon import make_self_ensemble
+            recon = make_self_ensemble(recon)
+            print("dihedral self-ensemble: on (8x solves)", flush=True)
         ds = SCITestDataset(args.testpath)
         img_dir = os.path.join(args.savepath, "img", "test")
         os.makedirs(img_dir, exist_ok=True)

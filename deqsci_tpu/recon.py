@@ -129,3 +129,53 @@ def make_reconstructor(step: Callable, solver: Callable = anderson,
     recon.multi = recon_multi
     recon.warm = recon_warm
     return recon
+
+
+def _dihedral_fwd(x: jnp.ndarray, k: int, flip: bool, axes) -> jnp.ndarray:
+    if k:
+        x = jnp.rot90(x, k, axes)
+    if flip:
+        x = jnp.flip(x, axes[0])
+    return x
+
+
+def _dihedral_inv(x: jnp.ndarray, k: int, flip: bool, axes) -> jnp.ndarray:
+    if flip:
+        x = jnp.flip(x, axes[0])
+    if k:
+        x = jnp.rot90(x, -k, axes)
+    return x
+
+
+def make_self_ensemble(recon: Callable) -> Callable:
+    """Dihedral test-time self-ensemble around a reconstructor.
+
+    The SCI forward model ``y = sum_t Phi_t * x_t`` is elementwise in the
+    spatial dims, so it is *exactly* equivariant under any spatial dihedral
+    transform applied jointly to (meas, Phi): each transformed problem is
+    the same physical reconstruction posed in a rotated/flipped frame. A
+    learned CNN denoiser is NOT equivariant, so the 8 solves differ only
+    through denoiser bias — averaging them cancels part of it (the classic
+    geometric self-ensemble of restoration nets). Pure inference-time
+    lever, no reference analog (the protocol number stays the plain
+    ``recon``); opt-in via ``--self_ensemble``.
+
+    Non-square inputs use the 4 shape-preserving transforms (180-degree
+    rotation x flip); square inputs use all 8. Each transformed solve
+    reuses the wrapped reconstructor's cached executable (same shapes).
+    """
+
+    def recon_se(params: Any, meas: jnp.ndarray,
+                 Phi: jnp.ndarray) -> jnp.ndarray:
+        H, W = meas.shape[1], meas.shape[2]
+        ks = (0, 1, 2, 3) if H == W else (0, 2)
+        acc = None
+        for k in ks:
+            for flip in (False, True):
+                mg = _dihedral_fwd(meas, k, flip, (1, 2))
+                Pg = _dihedral_fwd(Phi, k, flip, (0, 1))
+                out = _dihedral_inv(recon(params, mg, Pg), k, flip, (1, 2))
+                acc = out if acc is None else acc + out
+        return acc / (2 * len(ks))
+
+    return recon_se
