@@ -86,6 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "reference's DataLoader(shuffle=True), "
                    "video_sci_proxgrad.py:135); 0 = fixed order")
     p.add_argument("--shuffle_seed", type=int, default=0)
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="track an EMA of the weights during training and "
+                   "let it compete for the best checkpoint (0 = off, "
+                   "reference semantics)")
     p.add_argument("--self_ensemble", type=int, default=0,
                    help="inference only: average the reconstructions of "
                    "the 8 dihedral-transformed (meas, mask) problems (the "
@@ -292,6 +296,7 @@ def main(argv=None):
     return train_solver_sci(
         deq, variables, dataset, grad_clip=float(args.grad_clip),
         skip_loss_threshold=float(args.skip_loss_threshold),
+        ema_decay=float(args.ema_decay),
         n_epochs=int(args.n_epochs), base_lr=float(args.lr),
         sched_step=int(args.sched_step), lr_gamma=float(args.lr_gamma),
         start_epoch=start_epoch, eval_fn=eval_fn, save_fn=save_fn,

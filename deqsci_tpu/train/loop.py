@@ -106,6 +106,7 @@ def train_solver_sci(deq: Callable, params, dataset, *,
                      output_fn: Callable = lambda z: z,
                      grad_clip: float = 0.0,
                      skip_loss_threshold: float = 0.0,
+                     ema_decay: float = 0.0,
                      writer=None) -> Dict[str, Any]:
     """The full training loop with NaN-reset-from-checkpoint semantics.
 
@@ -119,6 +120,14 @@ def train_solver_sci(deq: Callable, params, dataset, *,
     solve can diverge without NaN-ing — the loss spikes ~1000x and the
     gradient, though clipped, points nowhere useful; dropping the update
     is strictly safer than stepping on it.
+
+    ``ema_decay`` > 0 (framework extension, off by default) additionally
+    tracks an exponential moving average of the weights, evaluates it at
+    every eval point alongside the raw weights, and lets it compete for
+    the ``best`` checkpoint. Near a stability cliff (180-iteration
+    equilibrium polish) the EMA smooths the oscillation of raw SGD
+    iterates across the cliff; the saved ``best`` snapshot carries
+    whichever weights scored higher.
     """
     optimizer = make_optimizer(base_lr, grad_clip=grad_clip)
     opt_state = optimizer.init(params)
@@ -133,6 +142,35 @@ def train_solver_sci(deq: Callable, params, dataset, *,
     start_time = time.time()
     reset_flag = False
 
+    ema_params = None
+    if ema_decay and ema_decay > 0:
+        ema_params = jax.tree.map(jnp.asarray, params)
+
+        @jax.jit
+        def _ema_step(ema, p):
+            return jax.tree.map(
+                lambda e, q: ema_decay * e + (1.0 - ema_decay) * q, ema, p)
+
+    def run_evals(tag_epoch):
+        """Evaluate raw (and EMA) weights; update best + save. Returns the
+        raw-weights score (callers' explosion logic keys off raw)."""
+        nonlocal best_psnr
+        cur = eval_fn(state.params)
+        if cur is not None and cur > best_psnr:
+            best_psnr = cur
+            if save_fn is not None:
+                save_fn("best", state.snapshot())
+        if ema_params is not None:
+            cur_ema = eval_fn(ema_params)
+            print(f"EMA eval: {cur_ema:.2f} dB (raw {cur:.2f})", flush=True)
+            if cur_ema is not None and cur_ema > best_psnr:
+                best_psnr = cur_ema
+                snap = state.snapshot()
+                snap["params"] = jax.tree.map(np.asarray, ema_params)
+                if save_fn is not None:
+                    save_fn("best", snap)
+        return cur
+
     for epoch in range(start_epoch, n_epochs):
         if reset_flag:
             print("NaN/explosion reset: restoring last checkpoint",
@@ -143,6 +181,8 @@ def train_solver_sci(deq: Callable, params, dataset, *,
                     lambda x: jnp.asarray(x) if hasattr(x, "shape") else x,
                     last_good["opt_state"]),
                 epoch)
+            if ema_params is not None:
+                ema_params = jax.tree.map(jnp.asarray, last_good["params"])
         reset_flag = False
 
         # StepLR: set this epoch's lr inside the injected hyperparams.
@@ -171,6 +211,8 @@ def train_solver_sci(deq: Callable, params, dataset, *,
                       f"{skip_loss_threshold})", flush=True)
             else:
                 state.params, state.opt_state = p, o
+                if ema_params is not None:
+                    ema_params = _ema_step(ema_params, state.params)
             if ii == 0:
                 previous_loss = loss_v
 
@@ -192,11 +234,7 @@ def train_solver_sci(deq: Callable, params, dataset, *,
                       f"lr: {lr_of(epoch):.8f}", flush=True)
 
             if eval_fn is not None and (ii + 1) % save_every_n_steps == 0:
-                cur = eval_fn(state.params)
-                if cur > best_psnr:
-                    best_psnr = cur
-                    if save_fn is not None:
-                        save_fn("best", state.snapshot())
+                run_evals(epoch)
 
         if previous_loss is not None and not np.isnan(loss_v) and \
                 previous_loss != 0 and \
@@ -211,14 +249,15 @@ def train_solver_sci(deq: Callable, params, dataset, *,
             if save_fn is not None:
                 save_fn(f"epoch_{epoch}", last_good)
         if eval_fn is not None:
-            cur = eval_fn(state.params)
             # the reference's epoch-end test pass discards its score
             # (sci_equilibrium_training.py:149-150); here it also feeds
-            # the best-checkpoint tracker — strictly better capture
-            if not reset_flag and cur is not None and cur > best_psnr:
-                best_psnr = cur
-                if save_fn is not None:
-                    save_fn("best", state.snapshot())
+            # the best-checkpoint tracker — strictly better capture.
+            # After a reset the eval still runs (reference behavior) but
+            # must not crown diverged weights.
+            if reset_flag:
+                eval_fn(state.params)
+            else:
+                run_evals(epoch)
 
     return {"params": state.params, "opt_state": state.opt_state,
             "best_psnr": best_psnr}

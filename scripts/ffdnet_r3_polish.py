@@ -52,6 +52,9 @@ def main():
     ap.add_argument("--seed_base", type=int, default=0,
                     help="per-leg shuffle seed = seed_base + leg index, so "
                          "restarted walks explore fresh data orders")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="per-leg EMA weight averaging (0 = off); the EMA "
+                    "competes for each leg's best checkpoint")
     ap.add_argument("--floor", type=float, default=0.0,
                     help="only consolidate models/<out> if the walk's best "
                          "eval beats this (set to the incumbent's score so "
@@ -86,6 +89,8 @@ def main():
                 "--backward", backward,
                 "--grad_clip", str(clip),
                 "--skip_loss_threshold", "0.03"]
+        if args.ema_decay:
+            argv += ["--ema_decay", str(args.ema_decay)]
         if backward == "neumann":
             argv += ["--neumann_k", "20"]
         print(f"=== polish leg {li}: backward={backward} lr={lr} "

@@ -179,3 +179,41 @@ def test_skip_loss_threshold_discards_outlier_updates(rng):
     for a, b in zip(jax.tree.leaves(trained), jax.tree.leaves(ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_ema_tracks_and_competes_for_best(rng):
+    """With ema_decay on: evals run for BOTH raw and EMA weights, the EMA
+    is a convex trail of the raw iterates (distinct from raw after one
+    step), and when the EMA scores higher the saved best snapshot carries
+    the EMA weights."""
+    deq, params, samples = _tiny_problem(rng, n=2)
+    saved = {}
+
+    def save_fn(tag, snapshot):
+        saved[tag] = snapshot
+
+    eval_calls = []
+
+    def eval_fn(p):
+        # score EMA evals (every 2nd call) higher than raw
+        eval_calls.append(p)
+        return float(len(eval_calls))
+
+    out = train_solver_sci(deq, params, samples, n_epochs=1, base_lr=1e-2,
+                           eval_fn=eval_fn, save_fn=save_fn,
+                           ema_decay=0.5,
+                           save_every_n_steps=100, print_every_n_steps=100)
+    # epoch-end eval: raw then EMA -> 2 calls, EMA scored higher
+    assert len(eval_calls) == 2
+    assert "best" in saved
+    ema_evaluated = eval_calls[1]
+    best_leaves = jax.tree_util.tree_leaves(saved["best"]["params"])
+    ema_leaves = jax.tree_util.tree_leaves(
+        jax.tree.map(np.asarray, ema_evaluated))
+    for b, e in zip(best_leaves, ema_leaves):
+        np.testing.assert_allclose(b, e)
+    # EMA must differ from the final raw weights (it lags the iterates)
+    raw_leaves = jax.tree_util.tree_leaves(
+        jax.tree.map(np.asarray, out["params"]))
+    assert any(np.abs(b - r).max() > 0
+               for b, r in zip(best_leaves, raw_leaves))
