@@ -101,10 +101,16 @@ def convert_dncnn(path: str, prefix: str = "nonlinear_op.dncnn"):
     """Convert a SimpleCNN / DnCNN-family ckpt to flax variables.
 
     Works for cnn.ckpt (plain) and rsn_cnn.ckpt (spectral-normalized —
-    the stored normalized weights are loaded, matching eval semantics).
+    the stored normalized weights are loaded, matching eval semantics),
+    and for the BARE denoiser state dicts of the fixed-sigma zoo
+    (networks/provable/Pretrained_models/{SimpleCNN,RealSN_SimpleCNN,
+    DnCNN}_noise{5,15,40}.pth — keys ``dncnn.N.*``, the format the
+    reference's --sigma path loads at video_sci_proxgrad.py:207).
     Returns ``(variables, sn_state)``.
     """
     sd = load_solver_state(path)
+    if not any(k.startswith(prefix) for k in sd):
+        prefix = "dncnn"
     params, stats, sn = convert_sequential(sd, prefix)
     return _variables(params, stats), sn
 
