@@ -98,3 +98,50 @@ def test_plain_dncnn_converts_and_denoises(sigma):
 
     gain = psnr(clean, den) - psnr(clean, noisy)
     assert gain > 3.0, f"DnCNN_noise{sigma} should denoise; gain {gain:.2f}"
+
+
+@pytest.mark.slow
+def test_short_deq_parity_realsn_simplecnn_noise15():
+    """8-iteration DE-GAP solve with the REAL RealSN_SimpleCNN_noise15
+    weights matches the torch oracle end to end on drop8 — a third
+    end-to-end golden config with true reference weights (alongside
+    cnn.ckpt and rsn_cnn.ckpt)."""
+    import torch
+
+    import jax.numpy as jnp
+    from deqsci_tpu.data.sci_mat import load_test_data
+    from deqsci_tpu.maps.gap_sci import make_gap_sci_step
+    from deqsci_tpu.recon import make_reconstructor
+    from deqsci_tpu.zoo import build_denoiser, load_reference_weights
+    from tests.oracle.torch_pipeline import (GapSCIOracle, SimpleCNNOracle,
+                                             deq_infer_oracle)
+
+    drop8 = "/root/reference/data/test_gray/drop8_cacti.mat"
+    if not os.path.exists(drop8):
+        pytest.skip("drop8 benchmark not present")
+    data = load_test_data(drop8)
+    mask = data["mask"]
+    y = data["meas"][..., 0] if data["meas"].ndim == 3 else data["meas"]
+
+    path = os.path.join(DIR, "RealSN_SimpleCNN_noise15.pth")
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    orc = SimpleCNNOracle().load_reference(
+        _save_tmp({f"nonlinear_op.{k}": v for k, v in sd.items()}))
+    orc.eval()
+    tm = torch.from_numpy(mask)[None]
+    ty = torch.from_numpy(y)[None]
+    tps = torch.sum(tm, dim=3)
+    tps[tps == 0] = 1
+    with torch.no_grad():
+        want, _, _ = deq_infer_oracle(GapSCIOracle(orc, "denoiser"),
+                                      ty, tm, tps, ty.unsqueeze(3) * tm,
+                                      max_iter=8)
+
+    spec = build_denoiser("RealSN_SimpleCNN", precision="highest")
+    variables, _ = load_reference_weights("RealSN_SimpleCNN", path)
+    step = make_gap_sci_step(spec.apply_fn(), tag="denoiser")
+    recon = make_reconstructor(step, m=5, lam=1e-2, max_iter=8, tol=1e-5,
+                               beta=1.0)
+    got = np.asarray(recon(variables, jnp.asarray(y)[None],
+                           jnp.asarray(mask)))[0]
+    np.testing.assert_allclose(got, want[0].numpy(), rtol=1e-3, atol=5e-4)
