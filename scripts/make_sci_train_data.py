@@ -239,6 +239,120 @@ def hybrid_clip(rng, sources, t=8, out_hw=256):
     return out.astype(np.float64)
 
 
+# Real still photographs bundled in the sandbox (sklearn/matplotlib sample
+# data + the reference's IPOL FFDNet demo input) — the only natural-image
+# content beyond the 64 benchmark gt frames. Grayscale crops of these feed
+# photo_clip below.
+BUNDLED_PHOTOS = (
+    "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/images/china.jpg",
+    "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/images/flower.jpg",
+    "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/sample_data/"
+    "grace_hopper.jpg",
+    "/root/reference/networks/ffdnet/input.png",
+)
+
+
+def load_photos(paths=BUNDLED_PHOTOS):
+    """Load stills as float grayscale in [0,1]; skip missing files."""
+    from PIL import Image
+
+    out = []
+    for p in paths:
+        if not os.path.exists(p):
+            continue
+        im = Image.open(p).convert("L")
+        out.append(np.asarray(im, np.float32) / 255.0)
+    return out
+
+
+def photo_clip(rng, photos, gt_sources, t=8, out_hw=256):
+    """8-frame clip: real photograph + continuous affine camera motion.
+
+    The r3b/r3c walks went asymptotic with corpus REALISM as the binding
+    constraint, and every natural-texture clip so far derives from the same
+    64 benchmark gt frames. This generator pans/zooms/rotates over a crop
+    of a genuinely NEW photograph (multi-scale crop -> subpixel affine
+    camera path, reflect border), optionally compositing 0-2 moving
+    occluders textured by smooth noise or a real-gt patch — new spatial
+    statistics with video-like motion.
+    """
+    import cv2
+
+    ph = photos[rng.integers(len(photos))]
+    H, W = ph.shape
+    pad = 24
+    # multi-scale square crop with affine head-room
+    size = int(rng.uniform(0.35, 1.0) * min(H, W))
+    size = max(size, 96)
+    cy = int(rng.integers(0, H - size + 1))
+    cx = int(rng.integers(0, W - size + 1))
+    crop = ph[cy:cy + size, cx:cx + size]
+    big = cv2.resize(crop, (out_hw + 2 * pad, out_hw + 2 * pad),
+                     interpolation=cv2.INTER_AREA if size > out_hw
+                     else cv2.INTER_LINEAR)
+    k = int(rng.integers(0, 4))
+    big = np.rot90(big, k).copy()
+    if rng.random() < 0.5:
+        big = big[:, ::-1].copy()
+
+    h = w = out_hw
+    vx, vy = rng.uniform(-5, 5, 2)
+    omega = rng.uniform(-1.2, 1.2)
+    zoom = rng.uniform(-0.008, 0.008)
+    gain = rng.uniform(0.85, 1.15)
+    bias = rng.uniform(-0.05, 0.05)
+
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    shapes = []
+    for _ in range(rng.integers(0, 3)):
+        kind = rng.choice(["disc", "rect", "bar"])
+        scx, scy = rng.uniform(30, out_hw - 30, 2)
+        sv = rng.uniform(-7, 7, 2)
+        if kind == "disc":
+            geo = (rng.uniform(8, 50),)
+        elif kind == "rect":
+            geo = (rng.uniform(10, 55), rng.uniform(10, 55))
+        else:
+            geo = (rng.uniform(4, 14), rng.uniform(0, np.pi))
+        if gt_sources and rng.random() < 0.5:
+            tex = augmented_gt_clip(rng, gt_sources, t=1,
+                                    out_hw=out_hw)[..., 0]
+        else:
+            tex = _smooth_noise(rng, h, w, cells=(8, 16, 32))
+            tex = 0.5 + 0.35 * tex / (np.abs(tex).max() + 1e-6)
+        shapes.append((kind, scx, scy, sv, geo, tex.astype(np.float32)))
+
+    frames = []
+    for ti in range(t):
+        M = cv2.getRotationMatrix2D((pad + w / 2.0, pad + h / 2.0),
+                                    omega * ti, 1.0 + zoom * ti)
+        M[0, 2] += vx * ti
+        M[1, 2] += vy * ti
+        warped = cv2.warpAffine(big, M, (w + 2 * pad, h + 2 * pad),
+                                flags=cv2.INTER_LINEAR,
+                                borderMode=cv2.BORDER_REFLECT)
+        f = warped[pad:pad + h, pad:pad + w].copy()
+        for kind, scx, scy, sv, geo, tex in shapes:
+            px, py = scx + ti * sv[0], scy + ti * sv[1]
+            if kind == "disc":
+                m = ((xx - px) ** 2 + (yy - py) ** 2) < geo[0] ** 2
+            elif kind == "rect":
+                m = ((np.abs(xx - px) < geo[0] / 2)
+                     & (np.abs(yy - py) < geo[1] / 2))
+            else:
+                th = geo[1]
+                d = np.abs((xx - px) * np.sin(th) - (yy - py) * np.cos(th))
+                m = d < geo[0] / 2
+            Ms = np.array([[1.0, 0.0, -px + scx], [0.0, 1.0, -py + scy]],
+                          np.float32)
+            tex_t = cv2.warpAffine(tex, Ms, (w, h), flags=cv2.INTER_LINEAR,
+                                   borderMode=cv2.BORDER_REFLECT)
+            f = np.where(m, tex_t, f)
+        frames.append(np.clip(f * gain + bias, 0.0, 1.0))
+    return np.stack(frames, -1).astype(np.float64)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="./data/sci_train")
@@ -252,6 +366,9 @@ def main():
     ap.add_argument("--hybrid", type=int, default=0,
                     help="additionally generate N real-background + "
                     "moving-occluder composite clips")
+    ap.add_argument("--photos", type=int, default=0,
+                    help="additionally generate N real-photograph camera-"
+                    "pan clips (bundled sklearn/matplotlib/IPOL stills)")
     ap.add_argument("--mask", default="random", choices=["random", "bench"],
                     help="'bench' reuses the benchmark sensing mask (the "
                     "mask is fixed camera hardware in SCI — known at "
@@ -294,6 +411,11 @@ def main():
     for _ in range(args.hybrid):
         write(hybrid_clip(rng, gt_videos), f"hyb_{n:04d}.mat")
         n += 1
+    if args.photos:
+        photos = load_photos()
+        for _ in range(args.photos):
+            write(photo_clip(rng, photos, gt_videos), f"photo_{n:04d}.mat")
+            n += 1
     for _ in range(args.synthetic):
         write(synthetic_clip(rng), f"synth_{n:04d}.mat")
         n += 1

@@ -66,3 +66,27 @@ def test_hybrid_clip_has_occlusion_motion():
     clip = _GEN.hybrid_clip(rng, sources, t=8, out_hw=128)
     fd = np.abs(clip[..., -1] - clip[..., 0])
     assert fd.max() > 0.05, "no occluder appeared over a static background"
+
+def test_photo_clip():
+    """Real-photograph camera-pan clips: shape/range/motion invariants,
+    using synthetic stand-in photos so the test has no venv-path coupling."""
+    rng = np.random.default_rng(3)
+    photos = [rng.random((200, 300)).astype(np.float32),
+              rng.random((160, 160)).astype(np.float32)]
+    sources = _fake_sources(rng)
+    clip = _GEN.photo_clip(rng, photos, sources, t=8, out_hw=128)
+    assert clip.shape == (128, 128, 8)
+    assert clip.dtype == np.float64
+    assert clip.min() >= 0.0 and clip.max() <= 1.0
+    assert np.abs(np.diff(clip, axis=-1)).mean() > 1e-3
+
+
+def test_load_photos_bundled():
+    """At least the reference's IPOL demo still must resolve; all loaded
+    photos are float grayscale in [0,1]."""
+    photos = _GEN.load_photos()
+    assert len(photos) >= 1
+    for p in photos:
+        assert p.ndim == 2 and p.dtype == np.float32
+        assert p.min() >= 0.0 and p.max() <= 1.0
+        assert min(p.shape) >= 200
