@@ -42,6 +42,18 @@ def main():
                     help="zoo name; 'ffdnet' trains DE-ADMM-FFDNet from a "
                          "GAP-trained init (e.g. --init models/ffdnet_r3)")
     ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--backward", default="neumann",
+                    choices=["neumann", "solver"],
+                    help="'neumann' (k=20) for curriculum moves; 'solver' "
+                         "(exact IFT) for polish near an optimum — the "
+                         "round-3 flagship finding is that truncated-"
+                         "Neumann gradients decay quality within an epoch "
+                         "once the operating point is good")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="EMA weight averaging (0 = off); the EMA competes "
+                         "for each leg's best checkpoint")
+    ap.add_argument("--seed_base", type=int, default=0,
+                    help="per-leg shuffle seed = seed_base + leg index")
     ap.add_argument("--floor", type=float, default=0.0,
                     help="only overwrite models/<out> if the final leg's "
                          "best eval (at the target horizon) beats this — "
@@ -61,9 +73,10 @@ def main():
         n_epochs = snap_epoch(load) + 1 + eps
         argv = ["--sci_solver", "admm",
                 "--denoiser", args.denoiser,
-                "--backward", "neumann", "--neumann_k", "20",
+                "--backward", args.backward,
                 "--grad_clip", "0.5",
                 "--skip_loss_threshold", "0.03",
+                "--shuffle_seed", str(args.seed_base + li),
                 "--loadpath", load,
                 "--trainpath", os.path.join(REPO, args.trainpath),
                 "--testpath", "/root/reference/data/test_gray/",
@@ -74,6 +87,10 @@ def main():
                 "--lr", args.lr, "--sched_step", "1000000",
                 "--save_every_n_steps", "75",
                 "--print_every_n_steps", "25"]
+        if args.backward == "neumann":
+            argv += ["--neumann_k", "20"]
+        if args.ema_decay:
+            argv += ["--ema_decay", str(args.ema_decay)]
         print(f"=== admm leg {li}: maxiter={maxiter} epochs={eps} ===",
               flush=True)
         out = video_sci.main(argv)
