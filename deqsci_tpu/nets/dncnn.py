@@ -201,7 +201,9 @@ class DnCNN(nn.Module):
             x = nn.relu(FastInputConv(self.features, name="conv0")(x))
         else:
             x = nn.relu(conv(self.features, "conv0")(x))
-        if packed:
+        # pack only if a body layer exists to consume it (the head reads
+        # f32; a 2-layer net would otherwise hand it packed activations)
+        if packed and self.num_layers > 2:
             x = split_pack(x)
         for i in range(1, self.num_layers - 1):
             if packed:
