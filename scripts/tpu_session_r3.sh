@@ -24,6 +24,10 @@ python -u scripts/ffdnet_r3_polish.py \
   --seed_base 60 --floor 0 --ema_decay 0.998 \
   > /tmp/ffd_ipol.log 2>&1
 
+# 1c. Ship the better flagship candidate (incumbent polish vs IPOL
+# finetune) into models/ffdnet_r3 so the protocol eval + bench score it.
+python -u scripts/ship_best_flagship.py > /tmp/ship_flagship.log 2>&1
+
 # 4. DE-ADMM-CNN extension on r3e (zoo leader; exact-IFT polish at the
 # 180 horizon per the round-3 recipe finding).
 python -u scripts/extend_admm_r3.py \
@@ -31,6 +35,18 @@ python -u scripts/extend_admm_r3.py \
   --trainpath data/sci_train_r3e --lr 1e-5 --backward solver \
   --ema_decay 0.998 --seed_base 80 --floor 31.81 --out admm_cnn_r3 \
   > /tmp/admm_r3e.log 2>&1
+
+# 4b. DE-ADMM-FFDNet from the REAL IPOL prior (the GAP-init round-3
+# attempt was fragile at 30.51; the strong natural-image prior is the
+# stability lever per the raw-PnP finding). Floor-guarded at the
+# incumbent's 30.51, horizon curriculum with Neumann for the big
+# distribution move.
+python -u scripts/extend_admm_r3.py \
+  --init /root/reference/networks/ffdnet/models/net_gray.pth \
+  --denoiser ffdnet --legs "140:2,180:2" \
+  --trainpath data/sci_train_r3e --lr 2e-5 --backward neumann \
+  --ema_decay 0.998 --seed_base 90 --floor 30.51 --out admm_ffdnet_r3 \
+  > /tmp/admm_ipol.log 2>&1
 
 # 2. Protocol re-eval of the shipped flagship + ADMM weights.
 bash test_ffdnet.sh > /tmp/eval_ffdnet_final.log 2>&1
