@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import time
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -86,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "reference's DataLoader(shuffle=True), "
                    "video_sci_proxgrad.py:135); 0 = fixed order")
     p.add_argument("--shuffle_seed", type=int, default=0)
+    p.add_argument("--cache_clips", type=int, default=1,
+                   help="preload+memoize decoded training clips in RAM "
+                   "(~2.3 MB/clip) so .mat decode cannot starve the "
+                   "device on weak hosts; 0 = decode per access "
+                   "(reference DataLoader behavior)")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="track an EMA of the weights during training and "
                    "let it compete for the best checkpoint (0 = off, "
@@ -238,11 +244,18 @@ def main(argv=None):
     # training
     deq = make_deq(step, **deq_kw, **solver_kw)
     from deqsci_tpu.dist.mesh import ProcessShardedDataset
+    train_ds = SCITrainingDataset(
+        os.path.join(args.trainpath, "gt/"),
+        os.path.join(args.trainpath, "measurement/"),
+        os.path.join(args.trainpath, "mask.mat"),
+        cache_clips=bool(int(args.cache_clips)))
+    if train_ds.cache_clips:
+        t0 = time.time()
+        train_ds.preload()
+        print(f"cached {len(train_ds)} training clips in RAM "
+              f"({time.time() - t0:.1f} s)", flush=True)
     base_dataset = ProcessShardedDataset(
-        SCITrainingDataset(
-            os.path.join(args.trainpath, "gt/"),
-            os.path.join(args.trainpath, "measurement/"),
-            os.path.join(args.trainpath, "mask.mat")),
+        train_ds,
         shuffle_seed=int(args.shuffle_seed) if int(args.shuffle) else None)
 
     if int(args.batch_size) > 1:

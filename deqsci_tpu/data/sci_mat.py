@@ -99,24 +99,46 @@ class SCITestDataset:
 @dataclass
 class SCITrainingDataset:
     """Paired gt/measurement .mat dirs with a shared mask
-    (reference SCITrainingDatasetSubset, utils/sci_dataloader.py:218-239)."""
+    (reference SCITrainingDatasetSubset, utils/sci_dataloader.py:218-239).
+
+    ``cache_clips`` memoizes each decoded clip in RAM (float32): a
+    256x256x8 gt+meas pair is ~2.3 MB, so even a ~1500-clip corpus is
+    ~3.4 GB — decode cost is paid once per clip instead of once per
+    epoch (~20 ms/clip uncontended, much worse when the training
+    process competes for a 1-vCPU host). ``preload()`` pays the whole
+    cost up front so training steps never share the host with decode
+    work. Host-side knob only — sample values are identical either way.
+    """
 
     gt_directory: str
     meas_directory: str
     mask_location: str
+    cache_clips: bool = False
 
     def __post_init__(self):
         names = directory_filelist(self.gt_directory)
         self.gt_files = [os.path.join(self.gt_directory, n) for n in names]
         self.meas_files = [os.path.join(self.meas_directory, n) for n in names]
         self.mask = load_mat(self.mask_location, "mask")
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {}
 
     def __len__(self):
         return len(self.gt_files)
 
+    def preload(self) -> None:
+        """Decode every clip into the RAM cache (implies cache_clips)."""
+        self.cache_clips = True
+        for i in range(len(self)):
+            self[i]
+
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
-        return {
+        if self.cache_clips and i in self._cache:
+            return self._cache[i]
+        sample = {
             "gt": load_mat(self.gt_files[i], "gt"),
             "meas": load_mat(self.meas_files[i], "meas"),
             "mask": self.mask,
         }
+        if self.cache_clips:
+            self._cache[i] = sample
+        return sample

@@ -100,3 +100,32 @@ def test_zoo_manifest_models_restore():
                    if np.asarray(l).dtype.kind == "f"), name
         if meta.get("psnr_db") is not None:
             assert 20.0 < meta["psnr_db"] < 45.0, name
+
+
+def test_training_dataset_clip_cache(tmp_path):
+    """cache_clips memoizes decoded samples without changing values."""
+    import scipy.io as sio
+    from deqsci_tpu.data.sci_mat import SCITrainingDataset
+
+    gt_dir, meas_dir = tmp_path / "gt", tmp_path / "measurement"
+    gt_dir.mkdir(); meas_dir.mkdir()
+    rng = np.random.default_rng(0)
+    mask = (rng.random((16, 16, 4)) > 0.5).astype(np.float64)
+    sio.savemat(str(tmp_path / "mask.mat"), {"mask": mask})
+    for i in range(3):
+        gt = rng.random((16, 16, 4))
+        sio.savemat(str(gt_dir / f"s{i}.mat"), {"patch_save": gt * 255.0})
+        sio.savemat(str(meas_dir / f"s{i}.mat"),
+                    {"meas": np.sum(gt * mask, -1) * 255.0})
+
+    plain = SCITrainingDataset(str(gt_dir), str(meas_dir),
+                               str(tmp_path / "mask.mat"))
+    cached = SCITrainingDataset(str(gt_dir), str(meas_dir),
+                                str(tmp_path / "mask.mat"), cache_clips=True)
+    cached.preload()
+    assert len(cached._cache) == 3
+    for i in range(3):
+        for k in ("gt", "meas", "mask"):
+            np.testing.assert_array_equal(plain[i][k], cached[i][k])
+        # memoized: the same object comes back, no re-decode
+        assert cached[i] is cached[i]
