@@ -133,12 +133,19 @@ class SCITrainingDataset:
 
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         if self.cache_clips and i in self._cache:
-            return self._cache[i]
+            return dict(self._cache[i])
         sample = {
             "gt": load_mat(self.gt_files[i], "gt"),
             "meas": load_mat(self.meas_files[i], "meas"),
             "mask": self.mask,
         }
         if self.cache_clips:
+            # Freeze the cached arrays and hand out a shallow copy per
+            # access: a consumer mutating a sample in place (future
+            # augmentation, scaling) must not silently corrupt the corpus
+            # for every later epoch — writes now raise instead.
+            for arr in sample.values():
+                arr.flags.writeable = False
             self._cache[i] = sample
+            return dict(sample)
         return sample

@@ -5,7 +5,7 @@
 # trained on data/sci_train_r3 by the round-3 polish: shuffled corpus
 # with the benchmark sensing mask + exact-IFT final leg, see
 # scripts/ffdnet_r3_polish.py and PARITY.md) run the full reference
-# schedule: 31.28 dB avg (38.14 / 31.76 / 23.95).
+# schedule: 31.28 dB avg (38.17 / 31.71 / 23.97, SSIM 0.9089).
 python -m deqsci_tpu.cli.video_sci \
 --savepath ./save/test_ffdnet/ \
 --testpath /root/reference/data/test_gray/ \

@@ -123,9 +123,25 @@ def test_training_dataset_clip_cache(tmp_path):
     cached = SCITrainingDataset(str(gt_dir), str(meas_dir),
                                 str(tmp_path / "mask.mat"), cache_clips=True)
     cached.preload()
-    assert len(cached._cache) == 3
-    for i in range(3):
-        for k in ("gt", "meas", "mask"):
-            np.testing.assert_array_equal(plain[i][k], cached[i][k])
-        # memoized: the same object comes back, no re-decode
-        assert cached[i] is cached[i]
+    # observable contract: after preload, access never re-decodes
+    import deqsci_tpu.data.sci_mat as sci_mat
+    calls = []
+    orig_load = sci_mat.load_mat
+    expected = [{k: np.array(plain[i][k]) for k in ("gt", "meas", "mask")}
+                for i in range(3)]
+    try:
+        sci_mat.load_mat = lambda *a, **kw: (calls.append(a),
+                                             orig_load(*a, **kw))[1]
+        for i in range(3):
+            for k in ("gt", "meas", "mask"):
+                np.testing.assert_array_equal(expected[i][k], cached[i][k])
+    finally:
+        sci_mat.load_mat = orig_load
+    assert not calls, "cached dataset re-decoded a clip"
+    # mutation hazard guard: cached arrays are frozen and each access
+    # hands out a fresh dict, so in-place edits cannot poison the corpus
+    s = cached[0]
+    with np.testing.assert_raises(ValueError):
+        s["gt"][0, 0, 0] = 1.0
+    s["gt"] = None  # replacing a key only affects this access's dict
+    assert cached[0]["gt"] is not None
