@@ -12,13 +12,21 @@ the TPU-native multi-host equivalent end to end: per-process data
 loading + cross-process gradient psum inserted by GSPMD.
 
 Usage: python multihost_child.py <pid> <nprocs> <port> <out.npz>
+
+Env knobs (defaults preserve the original 2-process x 2-device test):
+``MULTIHOST_CHILD_DEVCOUNT`` — virtual CPU devices per process;
+``MULTIHOST_CHILD_GBATCH`` — global batch size (must be divisible by
+the world's total device count). ``__graft_entry__.dryrun_multichip``
+reuses this child for its nested 2-process x (n/2)-device certificate.
 """
 
 import os
 import sys
 
+_DEVCOUNT = int(os.environ.get("MULTIHOST_CHILD_DEVCOUNT", "2"))
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = (
+    f"--xla_force_host_platform_device_count={_DEVCOUNT}")
 
 import jax
 
@@ -49,7 +57,7 @@ def main():
     # arrays but *loads* only its shard (as real per-host loaders would).
     h = w = 16
     t = 8
-    gbatch = 4
+    gbatch = int(os.environ.get("MULTIHOST_CHILD_GBATCH", "4"))
     rng = np.random.default_rng(7)
     samples = []
     for _ in range(gbatch):
