@@ -106,6 +106,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "units (0 = reference semantics: unbounded decay); "
                    "stabilizes long solves with denoisers that are not "
                    "contractive at tiny sigma")
+    p.add_argument("--sigma_dual", type=float, default=0.0,
+                   help="ADMM+ffdnet only: floor sigma at coef*RMS(dual) — "
+                   "an ADMM-native self-annealing curriculum (strong "
+                   "denoising while the splitting disagrees, decaying as "
+                   "the fixed point is approached); 0 = off")
     return p
 
 
@@ -163,6 +168,8 @@ def main(argv=None):
     if args.sci_solver == "admm":
         from deqsci_tpu.maps.admm_sci import make_admm_sci_step
         from deqsci_tpu.ops.sensing import initial_point_admm
+        if float(args.sigma_dual):
+            sigma_kw["sigma_dual_coef"] = float(args.sigma_dual)
         step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag, **sigma_kw)
         recon_kw = dict(init_fn=initial_point_admm,
                         output_fn=lambda c: c[0])

