@@ -65,11 +65,12 @@ def _throughput(recon, variables, clips, n_rounds=3):
 
 def _flagship_weights():
     """In-framework FFDNet weights (the reference's ffdnet.ckpt is a
-    stripped blob): prefer the round-2 180-iter-stable weights."""
+    stripped blob): prefer the newest shipped flagship (round-4 IPOL
+    lineage, then the round-3/2 in-framework lineages)."""
     import orbax.checkpoint as ocp
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    for name in ("ffdnet_r3", "ffdnet_r2", "ffdnet_r2_curr",
+    for name in ("ffdnet_ipol", "ffdnet_r3", "ffdnet_r2", "ffdnet_r2_curr",
                  "ffdnet_demo_ft"):
         path = os.path.join(repo, "models", name)
         if os.path.isdir(path):

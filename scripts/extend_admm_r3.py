@@ -54,6 +54,10 @@ def main():
                          "for each leg's best checkpoint")
     ap.add_argument("--seed_base", type=int, default=0,
                     help="per-leg shuffle seed = seed_base + leg index")
+    ap.add_argument("--sigma_dual", type=float, default=0.0,
+                    help="ffdnet only: sigma floor = coef*RMS(dual) — the "
+                         "ADMM-native self-annealing curriculum "
+                         "(maps/admm_sci.py sigma_dual_coef)")
     ap.add_argument("--floor", type=float, default=0.0,
                     help="only overwrite models/<out> if the final leg's "
                          "best eval (at the target horizon) beats this — "
@@ -91,6 +95,8 @@ def main():
             argv += ["--neumann_k", "20"]
         if args.ema_decay:
             argv += ["--ema_decay", str(args.ema_decay)]
+        if args.sigma_dual:
+            argv += ["--sigma_dual", str(args.sigma_dual)]
         print(f"=== admm leg {li}: maxiter={maxiter} epochs={eps} ===",
               flush=True)
         out = video_sci.main(argv)
