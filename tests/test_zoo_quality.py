@@ -3,29 +3,36 @@
 Loads the committed headline checkpoints and asserts per-file PSNR floors
 at the full 180-iteration protocol, mirroring the reference's
 ``test_solver_sci`` semantics (training/sci_equilibrium_training.py:152-205)
-via the framework's public ``make_reconstructor`` + ``evaluate_file`` path.
+via the framework's public ``make_reconstructor`` + ``evaluate_file`` path
+(driven by ``scripts/eval_checkpoint.py``).
 
 A silently-broken checkpoint blob, a converter regression, or a quality
 regression in the packed-precision conv path all fail these floors. The
 floors live in ``models/ZOO.json`` (``regression`` block per entry) so they
 ship with the weights; only single-snapshot files (drop8/runner8) are
-asserted to bound CPU runtime — traffic's 6 snapshots are covered by the
+asserted to bound runtime — traffic's 6 snapshots are covered by the
 chip-run shell protocols (test_ffdnet.sh / test_admm.sh).
+
+The eval runs in a SUBPROCESS on the default JAX platform: the suite's
+conftest pins the CPU backend, where one 180-iteration FFDNet solve costs
+~35 min; on the TPU chip the whole check is ~a minute. Skips when no
+accelerator is reachable rather than burning an hour of CPU.
 """
 
 import json
 import os
+import subprocess
+import sys
 
 import pytest
 
-from tests.conftest import REFERENCE_ROOT, has_reference
+from tests.conftest import has_reference
 
 pytestmark = pytest.mark.skipif(not has_reference(),
                                 reason="reference checkout not present")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ZOO_PATH = os.path.join(REPO, "models", "ZOO.json")
-TEST_GRAY = os.path.join(REFERENCE_ROOT, "data", "test_gray")
 
 
 def _zoo_regression_entries():
@@ -35,49 +42,42 @@ def _zoo_regression_entries():
             if isinstance(entry, dict) and "regression" in entry]
 
 
-def _build_recon(entry):
-    from deqsci_tpu.maps.gap_sci import make_gap_sci_step
-    from deqsci_tpu.recon import make_reconstructor
-    from deqsci_tpu.zoo import build_denoiser
-
-    spec = build_denoiser(entry["denoiser"])
-    solver_kw = dict(m=5, beta=1.0, lam=1e-2,
-                     max_iter=int(entry["maxiter"]), tol=1e-5)
-    if entry["solver"] == "admm":
-        from deqsci_tpu.maps.admm_sci import make_admm_sci_step
-        from deqsci_tpu.ops.sensing import initial_point_admm
-        step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag)
-        return make_reconstructor(step, init_fn=initial_point_admm,
-                                  output_fn=lambda c: c[0], **solver_kw)
-    step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag)
-    return make_reconstructor(step, **solver_kw)
-
-
-def _load_native(path):
-    import orbax.checkpoint as ocp
-
-    from deqsci_tpu.io.checkpoint import CheckpointManager
-    mgr = CheckpointManager(os.path.join("/tmp", "zoo_quality_ckpt"))
-    if mgr.exists(path):
-        return mgr.restore(path, with_optimizer=False)["params"]
-    return ocp.StandardCheckpointer().restore(os.path.abspath(path))["params"]
+def _default_platform_has_accelerator():
+    code = ("import os; os.environ.pop('JAX_PLATFORMS', None); "
+            "import jax; d = jax.devices()[0].platform; "
+            "print(d)")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    try:
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, timeout=120)
+        return out.stdout.strip() not in ("", "cpu")
+    except Exception:
+        return False
 
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name,entry", _zoo_regression_entries())
 def test_shipped_checkpoint_quality(name, entry):
-    from deqsci_tpu.data.sci_mat import load_test_data
-    from deqsci_tpu.train.eval import evaluate_file
-
+    if not _default_platform_has_accelerator():
+        pytest.skip("no accelerator on the default platform; the full "
+                    "180-iteration protocol is impractical on CPU")
     ckpt = os.path.join(REPO, "models", name)
     assert os.path.isdir(ckpt), f"shipped checkpoint missing: {ckpt}"
-    variables = _load_native(ckpt)
-    recon = _build_recon(entry)
 
     floors = entry["regression"]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "eval_checkpoint.py"),
+         "--model", os.path.join("models", name),
+         "--solver", entry["solver"], "--denoiser", entry["denoiser"],
+         "--maxiter", str(entry["maxiter"]),
+         "--files", ",".join(floors)],
+        env=env, capture_output=True, text=True, timeout=1800, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    scores = json.loads(proc.stdout.strip().splitlines()[-1])
     for fname, floor in floors.items():
-        data = load_test_data(os.path.join(TEST_GRAY, fname))
-        r = evaluate_file(recon, variables, data, compute_ssim=False)
-        assert r["psnr"] >= floor, (
-            f"{name}/{fname}: PSNR {r['psnr']:.2f} dB below the shipped "
+        assert scores[fname] >= floor, (
+            f"{name}/{fname}: PSNR {scores[fname]:.2f} dB below the shipped "
             f"floor {floor} — checkpoint or precision-path regression")
