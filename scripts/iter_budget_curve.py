@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--solver", default="gap", choices=["gap", "admm"])
     ap.add_argument("--budgets", default="20,40,60,80,100,120,140,160,180,220")
     ap.add_argument("--fold_bn", type=int, default=0)
+    ap.add_argument("--sigma_dual", type=float, default=0.0,
+                    help="ADMM sigma floor = coef*RMS(dual); must match "
+                         "the coef the model was trained with")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -57,7 +60,9 @@ def main():
     if args.solver == "admm":
         from deqsci_tpu.maps.admm_sci import make_admm_sci_step
         from deqsci_tpu.ops.sensing import initial_point_admm
-        step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag)
+        sigma_kw = ({"sigma_dual_coef": args.sigma_dual}
+                    if args.sigma_dual else {})
+        step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag, **sigma_kw)
         recon_kw = dict(init_fn=initial_point_admm,
                         output_fn=lambda c: c[0])
     else:
