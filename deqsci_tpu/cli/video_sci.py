@@ -160,26 +160,33 @@ def main(argv=None):
 
     fold_bn = bool(int(args.fold_bn)) and inference and \
         args.denoiser in ("ffdnet", "DnCNN", "RealSN_DnCNN", "dncnn_norm")
-    spec = build_denoiser(args.denoiser, precision=args.precision,
-                          bn_fold=fold_bn)
-    sigma_kw = {}
-    if args.sigma_min:
-        sigma_kw["sigma_min"] = float(args.sigma_min) / 255.0
-    if args.sci_solver == "admm":
-        from deqsci_tpu.maps.admm_sci import make_admm_sci_step
-        from deqsci_tpu.ops.sensing import initial_point_admm
-        if float(args.sigma_dual):
-            sigma_kw["sigma_dual_coef"] = float(args.sigma_dual)
-        step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag, **sigma_kw)
-        recon_kw = dict(init_fn=initial_point_admm,
-                        output_fn=lambda c: c[0])
-        deq_kw = resolve_backward("admm", args.backward,
-                                  args.neumann_k, inference)
-    else:
-        step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag, **sigma_kw)
-        recon_kw = {}
-        deq_kw = resolve_backward("gap", args.backward,
-                                  args.neumann_k, inference)
+
+    def build_spec_step(feats=0):
+        spec = build_denoiser(args.denoiser, precision=args.precision,
+                              bn_fold=fold_bn, feats=feats)
+        sigma_kw = {}
+        if args.sigma_min:
+            sigma_kw["sigma_min"] = float(args.sigma_min) / 255.0
+        if args.sci_solver == "admm":
+            from deqsci_tpu.maps.admm_sci import make_admm_sci_step
+            from deqsci_tpu.ops.sensing import initial_point_admm
+            if float(args.sigma_dual):
+                sigma_kw["sigma_dual_coef"] = float(args.sigma_dual)
+            step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag,
+                                      **sigma_kw)
+            recon_kw = dict(init_fn=initial_point_admm,
+                            output_fn=lambda c: c[0])
+            deq_kw = resolve_backward("admm", args.backward,
+                                      args.neumann_k, inference)
+        else:
+            step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag,
+                                     **sigma_kw)
+            recon_kw = {}
+            deq_kw = resolve_backward("gap", args.backward,
+                                      args.neumann_k, inference)
+        return spec, step, recon_kw, deq_kw
+
+    spec, step, recon_kw, deq_kw = build_spec_step()
 
     load_location = args.loadpath
     if args.sigma:
@@ -208,6 +215,17 @@ def main(argv=None):
         if load_location:
             print(f"loadpath {load_location} not found; "
                   "using random init", flush=True)
+
+    if args.denoiser == "ffdnet":
+        # rebuild the module at the width the weights were trained at
+        # (widened checkpoints from scripts/widen_ffdnet.py carry 96/128
+        # hidden channels; the flag-free default stays the reference's 64)
+        from deqsci_tpu.zoo import infer_denoiser_feats
+        feats = infer_denoiser_feats(variables)
+        if feats and feats != spec.module._cfg["feats"]:
+            print(f"checkpoint hidden width {feats} != module default; "
+                  "rebuilding", flush=True)
+            spec, step, recon_kw, deq_kw = build_spec_step(feats)
 
     if fold_bn and any(k.startswith("bn")
                        for k in variables.get("params", {})):

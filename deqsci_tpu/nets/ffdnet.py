@@ -51,14 +51,21 @@ class FFDNet(nn.Module):
     fast_head: bool = True
     bn_fold: bool = False  # inference-only: load dncnn.fold_batchnorm()
     # params — the 13 body BNs become conv scale+bias (VERDICT r2 lever)
+    feats: int = 0  # hidden width override (0 = family default); wider
+    # bodies fill more of the MXU's 128 lanes (PARITY.md round-4 probes:
+    # 96 ch = 102 TF/s, 128 ch = 160 TF/s vs 56 at the reference's 64)
 
     @property
     def _cfg(self):
         if self.in_channels == 1:
-            return dict(feats=64, layers=15, down_ch=5, out_ch=4)
-        if self.in_channels == 3:
-            return dict(feats=96, layers=12, down_ch=15, out_ch=12)
-        raise ValueError("in_channels must be 1 or 3")
+            cfg = dict(feats=64, layers=15, down_ch=5, out_ch=4)
+        elif self.in_channels == 3:
+            cfg = dict(feats=96, layers=12, down_ch=15, out_ch=12)
+        else:
+            raise ValueError("in_channels must be 1 or 3")
+        if self.feats:
+            cfg["feats"] = self.feats
+        return cfg
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, sigma: jnp.ndarray,

@@ -50,15 +50,28 @@ class DenoiserSpec:
         return self.module.init(rng_key, x)
 
 
+def infer_denoiser_feats(variables) -> int:
+    """Hidden width recorded in a loaded variables tree (conv0's output
+    dim), or 0 if the tree has no conv0. Lets checkpoint loaders rebuild
+    the module at the width the weights were trained at (e.g. a widened
+    FFDNet from scripts/widen_ffdnet.py) without a user-facing flag."""
+    try:
+        return int(variables["params"]["conv0"]["kernel"].shape[-1])
+    except (KeyError, TypeError, IndexError, AttributeError):
+        return 0
+
+
 def build_denoiser(name: str, n_channels: int = 1,
                    precision: str = "packed",
-                   bn_fold: bool = False) -> DenoiserSpec:
+                   bn_fold: bool = False,
+                   feats: int = 0) -> DenoiserSpec:
     """``precision``: conv scheme for the DnCNN/FFDNet families —
     'packed' (split2, the production default: -0.003 dB / 1.25x speed vs
     'high', see nets/dncnn.PackedBodyConv), 'high', or 'highest' (for
     bitwise-level oracle comparisons). ``bn_fold``: inference-only module
     variant expecting nets/dncnn.fold_batchnorm() parameters (BN-carrying
-    families only)."""
+    families only). ``feats``: hidden-width override for the ffdnet
+    family (0 = the reference's 64); see infer_denoiser_feats."""
     from deqsci_tpu.nets.dncnn import DnCNN
     from deqsci_tpu.nets.ffdnet import FFDNet
     from deqsci_tpu.nets.resnet import NBlockResNet
@@ -89,7 +102,8 @@ def build_denoiser(name: str, n_channels: int = 1,
                             tag="denoiser")
     if name == "ffdnet":
         return DenoiserSpec(FFDNet(in_channels=n_channels,
-                                   precision=precision, bn_fold=bn_fold),
+                                   precision=precision, bn_fold=bn_fold,
+                                   feats=feats),
                             tag="ffdnet", needs_sigma=True)
     if name in ("DnCNN", "RealSN_DnCNN", "dncnn_norm"):
         return DenoiserSpec(DnCNN(channels=n_channels, num_layers=17,

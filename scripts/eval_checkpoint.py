@@ -40,7 +40,7 @@ def main():
     from deqsci_tpu.maps.gap_sci import make_gap_sci_step
     from deqsci_tpu.recon import make_reconstructor
     from deqsci_tpu.train.eval import evaluate_file
-    from deqsci_tpu.zoo import build_denoiser
+    from deqsci_tpu.zoo import build_denoiser, infer_denoiser_feats
 
     mgr = CheckpointManager(os.path.join("/tmp", "eval_ckpt_scratch"))
     path = args.model if os.path.isabs(args.model) \
@@ -51,7 +51,8 @@ def main():
         variables = ocp.StandardCheckpointer().restore(
             os.path.abspath(path))["params"]
 
-    spec = build_denoiser(args.denoiser)
+    spec = build_denoiser(args.denoiser,
+                          feats=infer_denoiser_feats(variables))
     solver_kw = dict(m=5, beta=1.0, lam=1e-2, max_iter=args.maxiter,
                      tol=1e-5)
     if args.solver == "admm":

@@ -44,7 +44,6 @@ def main():
     from deqsci_tpu.train.eval import evaluate_file
     from deqsci_tpu.zoo import build_denoiser
 
-    spec = build_denoiser(args.denoiser, bn_fold=bool(args.fold_bn))
     path = os.path.join(REPO, args.model)
     if os.path.isdir(path):
         import orbax.checkpoint as ocp
@@ -53,6 +52,9 @@ def main():
     else:
         from deqsci_tpu.zoo import load_reference_weights
         variables, _ = load_reference_weights(args.denoiser, path)
+    from deqsci_tpu.zoo import infer_denoiser_feats
+    spec = build_denoiser(args.denoiser, bn_fold=bool(args.fold_bn),
+                          feats=infer_denoiser_feats(variables))
     if args.fold_bn:
         from deqsci_tpu.nets.dncnn import fold_batchnorm
         variables = fold_batchnorm(variables)
