@@ -72,6 +72,37 @@ def test_widen_rejects_narrowing():
         widen_hidden(variables, 8)
 
 
+def test_cli_width_autoinference(tmp_path, rng, capsys):
+    """A widened native checkpoint drives the CLI end to end: the module
+    is rebuilt at the checkpoint's width without any flag."""
+    import orbax.checkpoint as ocp
+    import scipy.io as sio
+
+    from deqsci_tpu.cli.video_sci import main
+
+    gt = rng.random((32, 32, 8))
+    mask = (rng.random((32, 32, 8)) > 0.5).astype(np.float64)
+    sio.savemat(tmp_path / "tiny_cacti.mat",
+                {"orig": gt * 255, "meas": np.sum(gt * mask, -1) * 255,
+                 "mask": mask})
+    spec = build_denoiser("ffdnet")
+    variables = spec.module.init(jax.random.key(0),
+                                 jnp.zeros((1, 16, 16, 1)),
+                                 jnp.zeros((1,)))
+    wide = widen_hidden(jax.tree.map(np.asarray, variables), 96)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(str(tmp_path / "ckpt"), {"params": wide, "epoch": 0},
+               force=True)
+    ckptr.wait_until_finished()
+    out = main(["--denoiser", "ffdnet", "--and_maxiters", "3",
+                "--loadpath", str(tmp_path / "ckpt"),
+                "--testpath", str(tmp_path) + "/",
+                "--savepath", str(tmp_path / "out") + "/",
+                "--inference", "True"])
+    assert np.isfinite(out["avg_psnr"])
+    assert "rebuilding" in capsys.readouterr().out
+
+
 def test_ffdnet_feats_field_shapes():
     mod = FFDNet(in_channels=1, feats=96, precision="highest")
     v = mod.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)),
