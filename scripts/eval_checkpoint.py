@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--denoiser", default="ffdnet")
     ap.add_argument("--maxiter", type=int, default=180)
     ap.add_argument("--files", default="drop8_cacti.mat,runner8_cacti.mat")
+    ap.add_argument("--sigma_dual", type=float, default=0.0,
+                    help="ADMM+ffdnet dual-RMS sigma floor coefficient; "
+                         "must match what the model was trained with")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -58,7 +61,9 @@ def main():
     if args.solver == "admm":
         from deqsci_tpu.maps.admm_sci import make_admm_sci_step
         from deqsci_tpu.ops.sensing import initial_point_admm
-        step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag)
+        sigma_kw = ({"sigma_dual_coef": args.sigma_dual}
+                    if args.sigma_dual else {})
+        step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag, **sigma_kw)
         recon = make_reconstructor(step, init_fn=initial_point_admm,
                                    output_fn=lambda c: c[0], **solver_kw)
     else:

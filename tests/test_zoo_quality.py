@@ -68,12 +68,13 @@ def test_shipped_checkpoint_quality(name, entry):
     floors = entry["regression"]
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    extra = [f"--{k}={v}" for k, v in entry.get("eval_kwargs", {}).items()]
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "eval_checkpoint.py"),
          "--model", os.path.join("models", name),
          "--solver", entry["solver"], "--denoiser", entry["denoiser"],
          "--maxiter", str(entry["maxiter"]),
-         "--files", ",".join(floors)],
+         "--files", ",".join(floors)] + extra,
         env=env, capture_output=True, text=True, timeout=1800, cwd=REPO)
     assert proc.returncode == 0, proc.stderr[-2000:]
     scores = json.loads(proc.stdout.strip().splitlines()[-1])
