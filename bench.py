@@ -70,8 +70,8 @@ def _flagship_weights():
     import orbax.checkpoint as ocp
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    for name in ("ffdnet_ipol", "ffdnet_r3", "ffdnet_r2", "ffdnet_r2_curr",
-                 "ffdnet_demo_ft"):
+    for name in ("ffdnet_w96", "ffdnet_ipol", "ffdnet_r3", "ffdnet_r2",
+                 "ffdnet_r2_curr", "ffdnet_demo_ft"):
         path = os.path.join(repo, "models", name)
         if os.path.isdir(path):
             snap = ocp.StandardCheckpointer().restore(os.path.abspath(path))
@@ -161,7 +161,9 @@ def main():
         # (9.54 vs 8.82 frames/s), so the bench reports the same
         # unfolded configuration PARITY.md scores. Fold remains opt-in
         # via --fold_bn for quality-tolerant serving.
-        ffdnet = FFDNet(in_channels=1)
+        from deqsci_tpu.zoo import infer_denoiser_feats
+        ffdnet = FFDNet(in_channels=1,
+                        feats=infer_denoiser_feats(ffd_vars))
         fstep = make_gap_sci_step(
             lambda p, x, s: ffdnet.apply(p, x, s), tag="ffdnet")
         frecon = make_reconstructor(fstep, m=5, lam=1e-2, beta=1.0,
