@@ -175,9 +175,11 @@ def main():
             f"DE-GAP-FFDNet maxiter=180 weights={ffd_name}")
 
     # efficient-knee companion: the zoo's best speed-quality frontier
-    # point. Round-4 curve (PARITY.md): DE-ADMM-FFDNet at 100 iterations
-    # scores 32.28 dB (ABOVE its own 180-iteration protocol number) at
-    # ~11 frames/s; falls back to the DE-ADMM-CNN knee on older trees.
+    # point. Round-4 budget curves (PARITY.md): the IPOL-lineage flagship
+    # at 120 iterations scores 32.30 dB at ~14 frames/s — above the
+    # DE-ADMM-FFDNet 100-iteration knee (32.28 dB) AND faster, so it is
+    # the frontier on both axes; ADMM knees remain the fallbacks on
+    # trees without that checkpoint.
     repo = os.path.dirname(os.path.abspath(__file__))
     import orbax.checkpoint as ocp
     from deqsci_tpu.maps.admm_sci import make_admm_sci_step
@@ -187,7 +189,15 @@ def main():
     cnn_path = next((p for p in ("admm_cnn_r4", "admm_cnn_r3")
                      if os.path.isdir(os.path.join(repo, "models", p))),
                     None)
-    if os.path.isdir(aff_path):
+    if ffd_vars is not None and ffd_name == "ffdnet_ipol":
+        krecon = make_reconstructor(fstep, m=5, lam=1e-2, beta=1.0,
+                                    max_iter=120, tol=1e-5)
+        result["best_model_value"] = round(
+            _throughput(krecon, ffd_vars, clips), 3)
+        result["best_model_unit"] = "frames/sec/chip"
+        result["best_model_config"] = (
+            "DE-GAP-FFDNet maxiter=120 weights=ffdnet_ipol (32.30 dB)")
+    elif os.path.isdir(aff_path):
         from deqsci_tpu.nets.ffdnet import FFDNet
         from deqsci_tpu.zoo import infer_denoiser_feats
 

@@ -1,0 +1,66 @@
+#!/bin/bash
+# Round-5 TPU session: the wider-flagship (w96) walk, fresh-VM-safe.
+#
+# Supersedes tpu_session_r4c.sh, which assumed the r4b interactive state
+# (/tmp/w96.pid, save/ffdnet_ipol_w96, data/sci_train_r3e) survived —
+# none of it does across a VM reset (corpora and save/ are gitignored).
+# This script regenerates everything it needs from the committed tree.
+#
+# Every stage checks a hard wall-clock deadline and is timeout-bounded:
+# the round-end driver runs bench.py on this chip, and a stage still
+# running at capture time would recreate the round-3 contention artifact
+# (VERDICT r3 weak #1). Order: corpus (CPU), widen (CPU), walk (chip,
+# hours), curve, bench validation; expendables last.
+#
+# Run: DEADLINE=$(date -d '+5 hours' +%s) \
+#      nohup bash scripts/tpu_session_r5.sh > /tmp/tpu_session_r5.log 2>&1 &
+#      echo $! > /tmp/session_r5.pid
+set -x
+cd "$(dirname "$0")/.."
+DEADLINE=${DEADLINE:-$(date -d '+5 hours' +%s)}
+left() { echo $(( DEADLINE - $(date +%s) )); }
+
+# 0. Corpus: regenerate data/sci_train_r3e if the VM reset wiped it
+# (recipe from scripts/TPU_QUEUE_r3.md — procedurally equivalent, seed 31).
+if [ ! -d data/sci_train_r3e ]; then
+  timeout 2400 python -u scripts/make_sci_train_data.py \
+    --out data/sci_train_r3e --seed 31 --mask bench \
+    --gt_augment 650 --hybrid 400 --photos 300 --synthetic 100 \
+    > /tmp/corpus_r3e.log 2>&1
+fi
+
+# 1. Net2Wider init: function-preserving 96-channel widening of the
+# shipped flagship (starts AT its PSNR; PARITY.md round-4 widening table).
+if [ ! -d save/ffdnet_ipol_w96 ]; then
+  timeout 1800 python -u scripts/widen_ffdnet.py \
+    --src models/ffdnet_ipol --feats 96 --out save/ffdnet_ipol_w96 \
+    > /tmp/widen_w96.log 2>&1
+fi
+
+# 2. w96 walk: exact-IFT finetune to exploit the new capacity.
+# Floor-guarded at the incumbent so a flat walk cannot regress the ship.
+# Two legs ~80 min each on the chip; start only with 3h+ in hand, and
+# leave 40 min of margin for the stages below.
+if [ "$(left)" -gt 10800 ] && [ -d save/ffdnet_ipol_w96 ]; then
+  timeout $(( $(left) - 2400 )) python -u scripts/ffdnet_r3_polish.py \
+    --init save/ffdnet_ipol_w96 \
+    --legs "solver:8e-6:2,solver:5e-6:2" \
+    --trainpath data/sci_train_r3e --ema_decay 0.998 \
+    --seed_base 200 --tag w96 --floor 32.85 --out ffdnet_w96 \
+    > /tmp/ffd_w96.log 2>&1
+fi
+
+# 3. Budget curve for the shipped flagship (w96 if it shipped, else the
+# ipol incumbent already has its curve in PARITY.md round-4).
+if [ -d models/ffdnet_w96 ] && [ "$(left)" -gt 2700 ]; then
+  timeout $(( $(left) - 1200 )) python -u scripts/iter_budget_curve.py \
+    --model models/ffdnet_w96 --solver gap --denoiser ffdnet \
+    --budgets 80,100,120,140,180 > /tmp/ffd_w96_curve.log 2>&1
+fi
+
+# 4. bench.py validation run on the idle chip. ~15 min.
+if [ "$(left)" -gt 1080 ]; then
+  timeout $(( $(left) - 120 )) python -u bench.py > /tmp/bench_r5.log 2>&1
+fi
+
+echo SESSION-R5-DONE
