@@ -189,11 +189,29 @@ def main():
     cnn_path = next((p for p in ("admm_cnn_r4", "admm_cnn_r3")
                      if os.path.isdir(os.path.join(repo, "models", p))),
                     None)
-    if ffd_vars is not None and ffd_name == "ffdnet_ipol":
-        krecon = make_reconstructor(fstep, m=5, lam=1e-2, beta=1.0,
+    ipol_path = os.path.join(repo, "models", "ffdnet_ipol")
+    if ffd_vars is not None and os.path.isdir(ipol_path):
+        # The knee (maxiter=120, 32.30 dB) is MEASURED for ffdnet_ipol
+        # (PARITY.md round-4 curve), so load those weights explicitly
+        # rather than reusing the flagship-selection result: a newer
+        # flagship (e.g. ffdnet_w96) may ship without its own measured
+        # knee, and silently re-pointing this block at it would record
+        # an unmeasured quality claim (ADVICE r4).
+        if ffd_name == "ffdnet_ipol":
+            kvars, kstep = ffd_vars, fstep
+        else:
+            from deqsci_tpu.nets.ffdnet import FFDNet
+            from deqsci_tpu.zoo import infer_denoiser_feats
+            snap = ocp.StandardCheckpointer().restore(
+                os.path.abspath(ipol_path))
+            kvars = snap["params"] if "params" in snap else snap
+            kffd = FFDNet(in_channels=1, feats=infer_denoiser_feats(kvars))
+            kstep = make_gap_sci_step(
+                lambda p, x, s: kffd.apply(p, x, s), tag="ffdnet")
+        krecon = make_reconstructor(kstep, m=5, lam=1e-2, beta=1.0,
                                     max_iter=120, tol=1e-5)
         result["best_model_value"] = round(
-            _throughput(krecon, ffd_vars, clips), 3)
+            _throughput(krecon, kvars, clips), 3)
         result["best_model_unit"] = "frames/sec/chip"
         result["best_model_config"] = (
             "DE-GAP-FFDNet maxiter=120 weights=ffdnet_ipol (32.30 dB)")

@@ -100,12 +100,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="inference only: average the reconstructions of "
                    "the 8 dihedral-transformed (meas, mask) problems (the "
                    "SCI forward model is exactly equivariant; only "
-                   "denoiser bias differs). ~8x solve cost")
+                   "denoiser bias differs). 1 = sequential (8x solves), "
+                   "2 = batched (all 8 problems in ONE per-lane-mask XLA "
+                   "program via recon.multi)")
     p.add_argument("--sigma_min", type=float, default=0.0,
                    help="floor for the FFDNet sigma schedule in [0,255] "
                    "units (0 = reference semantics: unbounded decay); "
                    "stabilizes long solves with denoisers that are not "
                    "contractive at tiny sigma")
+    p.add_argument("--maxiter_mix", default="",
+                   help="training only: comma list of solve horizons; "
+                   "each batch samples one uniformly and trains the DEQ "
+                   "at that budget (mixed-horizon curriculum — trains the "
+                   "weights to be a fixed point at EVERY budget in the "
+                   "set, flattening quality-vs-iterations tails). Eval "
+                   "still runs at --and_maxiters")
     p.add_argument("--sigma_dual", type=float, default=0.0,
                    help="ADMM+ffdnet only: floor sigma at coef*RMS(dual) — "
                    "an ADMM-native self-annealing curriculum (strong "
@@ -241,8 +250,11 @@ def main(argv=None):
         recon = make_reconstructor(step, **recon_kw, **solver_kw)
         if int(args.self_ensemble):
             from deqsci_tpu.recon import make_self_ensemble
-            recon = make_self_ensemble(recon)
-            print("dihedral self-ensemble: on (8x solves)", flush=True)
+            batched = int(args.self_ensemble) >= 2
+            recon = make_self_ensemble(recon, batched=batched)
+            print(f"dihedral self-ensemble: on "
+                  f"({'one batched program' if batched else '8x solves'})",
+                  flush=True)
         ds = SCITestDataset(args.testpath)
         img_dir = os.path.join(args.savepath, "img", "test")
         os.makedirs(img_dir, exist_ok=True)
@@ -267,7 +279,14 @@ def main(argv=None):
         return {"avg_psnr": avg, "avg_ssim": float(np.mean(ssims))}
 
     # training
-    deq = make_deq(step, **deq_kw, **solver_kw)
+    if args.maxiter_mix:
+        hs = sorted({int(v) for v in args.maxiter_mix.split(",")})
+        deq = {h: make_deq(step, **deq_kw, **dict(solver_kw, max_iter=h))
+               for h in hs}
+        print(f"mixed-horizon training over {hs} "
+              f"(eval at {solver_kw['max_iter']})", flush=True)
+    else:
+        deq = make_deq(step, **deq_kw, **solver_kw)
     from deqsci_tpu.dist.mesh import ProcessShardedDataset
     train_ds = SCITrainingDataset(
         os.path.join(args.trainpath, "gt/"),

@@ -147,7 +147,7 @@ def _dihedral_inv(x: jnp.ndarray, k: int, flip: bool, axes) -> jnp.ndarray:
     return x
 
 
-def make_self_ensemble(recon: Callable) -> Callable:
+def make_self_ensemble(recon: Callable, batched: bool = False) -> Callable:
     """Dihedral test-time self-ensemble around a reconstructor.
 
     The SCI forward model ``y = sum_t Phi_t * x_t`` is elementwise in the
@@ -163,19 +163,45 @@ def make_self_ensemble(recon: Callable) -> Callable:
     Non-square inputs use the 4 shape-preserving transforms (180-degree
     rotation x flip); square inputs use all 8. Each transformed solve
     reuses the wrapped reconstructor's cached executable (same shapes).
+
+    ``batched=True`` (VERDICT r4 stretch #8) solves all 8 transformed
+    problems in ONE XLA program via the wrapped reconstructor's per-lane
+    ``recon.multi`` path (each transform has its own mask, so the
+    per-lane-Phi form is exactly what self-ensembling needs) instead of a
+    sequential Python loop — trading the 8x dispatch for one wide vmapped
+    solve. Lane-frozen Anderson means every transformed problem still
+    runs exactly its solo iterate count; numerics differ from the
+    sequential path only by XLA reduction order.
     """
+
+    def _transforms(H, W):
+        ks = (0, 1, 2, 3) if H == W else (0, 2)
+        return [(k, flip) for k in ks for flip in (False, True)]
 
     def recon_se(params: Any, meas: jnp.ndarray,
                  Phi: jnp.ndarray) -> jnp.ndarray:
-        H, W = meas.shape[1], meas.shape[2]
-        ks = (0, 1, 2, 3) if H == W else (0, 2)
         acc = None
-        for k in ks:
-            for flip in (False, True):
-                mg = _dihedral_fwd(meas, k, flip, (1, 2))
-                Pg = _dihedral_fwd(Phi, k, flip, (0, 1))
-                out = _dihedral_inv(recon(params, mg, Pg), k, flip, (1, 2))
-                acc = out if acc is None else acc + out
-        return acc / (2 * len(ks))
+        for k, flip in _transforms(meas.shape[1], meas.shape[2]):
+            mg = _dihedral_fwd(meas, k, flip, (1, 2))
+            Pg = _dihedral_fwd(Phi, k, flip, (0, 1))
+            out = _dihedral_inv(recon(params, mg, Pg), k, flip, (1, 2))
+            acc = out if acc is None else acc + out
+        return acc / len(_transforms(meas.shape[1], meas.shape[2]))
 
-    return recon_se
+    def recon_se_batched(params: Any, meas: jnp.ndarray,
+                         Phi: jnp.ndarray) -> jnp.ndarray:
+        S = meas.shape[0]
+        tfs = _transforms(meas.shape[1], meas.shape[2])
+        megs = jnp.concatenate(
+            [_dihedral_fwd(meas, k, f, (1, 2)) for k, f in tfs], axis=0)
+        Pgs = jnp.concatenate(
+            [jnp.broadcast_to(_dihedral_fwd(Phi, k, f, (0, 1))[None],
+                              (S,) + Phi.shape) for k, f in tfs], axis=0)
+        out = recon.multi(params, megs, Pgs)  # (len(tfs)*S, H, W, T)
+        acc = None
+        for i, (k, f) in enumerate(tfs):
+            o = _dihedral_inv(out[i * S:(i + 1) * S], k, f, (1, 2))
+            acc = o if acc is None else acc + o
+        return acc / len(tfs)
+
+    return recon_se_batched if batched else recon_se

@@ -58,6 +58,10 @@ def main():
                     help="ffdnet only: sigma floor = coef*RMS(dual) — the "
                          "ADMM-native self-annealing curriculum "
                          "(maps/admm_sci.py sigma_dual_coef)")
+    ap.add_argument("--maxiter_mix", default="",
+                    help="comma list of training horizons sampled per "
+                         "batch (VERDICT r4 #5 mixed-horizon curriculum); "
+                         "each leg still evals at its own maxiter")
     ap.add_argument("--floor", type=float, default=0.0,
                     help="only overwrite models/<out> if the final leg's "
                          "best eval (at the target horizon) beats this — "
@@ -97,6 +101,8 @@ def main():
             argv += ["--ema_decay", str(args.ema_decay)]
         if args.sigma_dual:
             argv += ["--sigma_dual", str(args.sigma_dual)]
+        if args.maxiter_mix:
+            argv += ["--maxiter_mix", args.maxiter_mix]
         print(f"=== admm leg {li}: maxiter={maxiter} epochs={eps} ===",
               flush=True)
         out = video_sci.main(argv)

@@ -63,11 +63,29 @@ def main():
 
     from deqsci_tpu.cli import video_sci
 
+    def consolidate(ckpt, score):
+        """Ship save/<ckpt> to models/<out> now. Called after EVERY
+        improving leg (not just at walk end) so a timeout-killed walk
+        still ships its best checkpoint (ADVICE r4: hours of chip time
+        must not strand progress in save/)."""
+        import orbax.checkpoint as ocp
+        from deqsci_tpu.io.checkpoint import CheckpointManager
+        snap = ocp.StandardCheckpointer().restore(os.path.abspath(ckpt))
+        out_dir = os.path.join(REPO, "models", args.out)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        CheckpointManager(os.path.join(REPO, "models")).save(
+            args.out, {"params": snap["params"],
+                       "epoch": int(snap.get("epoch", 0))})
+        print(f"consolidated models/{args.out} at {score:.2f} dB "
+              f"(from {ckpt})", flush=True)
+
     load = os.path.join(REPO, args.init)
     # seed the incumbent's score: without this, a diverged FIRST leg
     # (whose best eval may be 20 dB) would still beat -1e9 and become the
     # init of every later leg, poisoning the whole walk
     best_score, best_ckpt = args.floor, load
+    shipped_any = False
     for li, spec in enumerate(args.legs.split(",")):
         parts = spec.split(":")
         backward, lr, eps = parts[0], float(parts[1]), int(parts[2])
@@ -102,26 +120,17 @@ def main():
                 os.path.join(save, "model", "best")):
             best_score = leg_best
             best_ckpt = os.path.join(save, "model", "best")
+            consolidate(best_ckpt, best_score)
+            shipped_any = True
         # chain from the best checkpoint seen SO FAR (a bad leg must not
         # poison the next one)
         load = best_ckpt
 
     print(f"global best: {best_score:.2f} dB at {best_ckpt}", flush=True)
-    if best_score <= args.floor:
-        print(f"best {best_score:.2f} <= floor {args.floor:.2f}; leaving "
+    if not shipped_any:
+        print(f"no leg beat the floor {args.floor:.2f}; leaving "
               f"models/{args.out} untouched", flush=True)
         return
-    import numpy as np
-    import orbax.checkpoint as ocp
-    from deqsci_tpu.io.checkpoint import CheckpointManager
-    snap = ocp.StandardCheckpointer().restore(os.path.abspath(best_ckpt))
-    mgr = CheckpointManager(os.path.join(REPO, "models"))
-    out_dir = os.path.join(REPO, "models", args.out)
-    if os.path.isdir(out_dir):
-        shutil.rmtree(out_dir)
-    mgr.save(args.out, {"params": snap["params"],
-                        "epoch": int(snap.get("epoch", 0))})
-    print(f"saved models/{args.out}", flush=True)
 
     r = video_sci.main(["--denoiser", "ffdnet",
                         "--loadpath", os.path.join(REPO, "models", args.out),

@@ -373,7 +373,19 @@ def main():
                     help="'bench' reuses the benchmark sensing mask (the "
                     "mask is fixed camera hardware in SCI — known at "
                     "train time; all bundled *_cacti.mat share one mask)")
+    ap.add_argument("--no_gt", action="store_true",
+                    help="LEAKAGE-FREE mode: write NO benchmark-gt-derived "
+                    "pixels (skip the raw gt snapshots that are otherwise "
+                    "always written, forbid --gt_augment/--hybrid, and "
+                    "texture photo-clip occluders with smooth noise only). "
+                    "Keeping --mask bench remains legitimate — the mask is "
+                    "the camera, not the content. Mirrors the reference's "
+                    "train-on-DAVIS / test-on-benchmarks disjointness "
+                    "(train_ffdnet.sh:1-5, utils/sci_dataloader.py:218-239)")
     args = ap.parse_args()
+    if args.no_gt and (args.gt_augment or args.hybrid):
+        ap.error("--no_gt forbids --gt_augment/--hybrid (both derive "
+                 "pixels from the benchmark gt)")
 
     from deqsci_tpu.data.sci_mat import SCITestDataset
 
@@ -399,12 +411,16 @@ def main():
 
     n = 0
     gt_videos = []
-    for data in test_ds:
-        gt = data["gt"]  # (H, W, F) in [0,1]
-        gt_videos.append(np.asarray(gt, np.float64))
-        for s in range(gt.shape[-1] // 8):
-            write(gt[..., s * 8:(s + 1) * 8], f"sample_{n:04d}.mat")
-            n += 1
+    if args.no_gt:
+        pass  # leakage-free: no benchmark-gt-derived pixels at all
+    else:
+        for data in test_ds:
+            gt = data["gt"]  # (H, W, F) in [0,1]
+            gt_videos.append(np.asarray(gt, np.float64))
+        for vid in gt_videos:
+            for s in range(vid.shape[-1] // 8):
+                write(vid[..., s * 8:(s + 1) * 8], f"sample_{n:04d}.mat")
+                n += 1
     for _ in range(args.gt_augment):
         write(augmented_gt_clip(rng, gt_videos), f"aug_{n:04d}.mat")
         n += 1
@@ -414,6 +430,8 @@ def main():
     if args.photos:
         photos = load_photos()
         for _ in range(args.photos):
+            # in --no_gt mode gt_videos is empty, so occluder textures
+            # fall back to smooth noise inside photo_clip
             write(photo_clip(rng, photos, gt_videos), f"photo_{n:04d}.mat")
             n += 1
     for _ in range(args.synthetic):

@@ -22,8 +22,11 @@ left() { echo $(( DEADLINE - $(date +%s) )); }
 
 # 0. Corpus: regenerate data/sci_train_r3e if the VM reset wiped it
 # (recipe from scripts/TPU_QUEUE_r3.md — procedurally equivalent, seed 31).
-if [ ! -d data/sci_train_r3e ]; then
-  timeout 2400 python -u scripts/make_sci_train_data.py \
+# Deadline-guarded like every other stage (ADVICE r4): launched late,
+# this CPU stage must not overlap the round-end bench capture.
+if [ ! -d data/sci_train_r3e ] && [ "$(left)" -gt 4200 ]; then
+  timeout $(( $(left) - 1500 > 2400 ? 2400 : $(left) - 1500 )) \
+    python -u scripts/make_sci_train_data.py \
     --out data/sci_train_r3e --seed 31 --mask bench \
     --gt_augment 650 --hybrid 400 --photos 300 --synthetic 100 \
     > /tmp/corpus_r3e.log 2>&1
@@ -31,8 +34,9 @@ fi
 
 # 1. Net2Wider init: function-preserving 96-channel widening of the
 # shipped flagship (starts AT its PSNR; PARITY.md round-4 widening table).
-if [ ! -d save/ffdnet_ipol_w96 ]; then
-  timeout 1800 python -u scripts/widen_ffdnet.py \
+if [ ! -d save/ffdnet_ipol_w96 ] && [ "$(left)" -gt 2400 ]; then
+  timeout $(( $(left) - 600 > 1800 ? 1800 : $(left) - 600 )) \
+    python -u scripts/widen_ffdnet.py \
     --src models/ffdnet_ipol --feats 96 --out save/ffdnet_ipol_w96 \
     > /tmp/widen_w96.log 2>&1
 fi
@@ -40,7 +44,9 @@ fi
 # 2. w96 walk: exact-IFT finetune to exploit the new capacity.
 # Floor-guarded at the incumbent so a flat walk cannot regress the ship.
 # Two legs ~80 min each on the chip; start only with 3h+ in hand, and
-# leave 40 min of margin for the stages below.
+# leave 40 min of margin for the stages below. The polish driver now
+# consolidates models/ffdnet_w96 after EVERY improving leg (ADVICE r4),
+# so a timeout mid-walk still ships the best checkpoint seen.
 if [ "$(left)" -gt 10800 ] && [ -d save/ffdnet_ipol_w96 ]; then
   timeout $(( $(left) - 2400 )) python -u scripts/ffdnet_r3_polish.py \
     --init save/ffdnet_ipol_w96 \

@@ -9,9 +9,10 @@ via the framework's public ``make_reconstructor`` + ``evaluate_file`` path
 A silently-broken checkpoint blob, a converter regression, or a quality
 regression in the packed-precision conv path all fail these floors. The
 floors live in ``models/ZOO.json`` (``regression`` block per entry) so they
-ship with the weights; only single-snapshot files (drop8/runner8) are
-asserted to bound runtime — traffic's 6 snapshots are covered by the
-chip-run shell protocols (test_ffdnet.sh / test_admm.sh).
+ship with the weights; every trained operating point floors ALL THREE
+benchmark files (VERDICT r4 #4 — traffic is the hardest file, furthest
+from saturation, so a regression shows there first; round-4 blocks
+skipped it and would have missed a traffic-only regression).
 
 The eval runs in a SUBPROCESS on the default JAX platform: the suite's
 conftest pins the CPU backend, where one 180-iteration FFDNet solve costs
