@@ -4,10 +4,18 @@ Rebuild of scripts/fixedpoint/mri_prox_fixedeta_pre_and.py:57-161: an 8x
 undersampled single-coil MRI operator with additive measurement noise, a
 DnCNN denoiser inside an EquilibriumProxGradMRI map, Anderson DEQ with IFT
 training. Runs on FastMRI h5 data when ``--datapath`` exists, otherwise on
-a synthetic phantom set (smoke mode) so the full path is exercisable in
-this sandbox.
+a synthetic phantom set so the full path is exercisable in this sandbox
+(no FastMRI corpus; VERDICT r4 #6 asks for a *recorded* operating point on
+synthetic k-space rather than smoke-only coverage).
+
+With ``--eval_n`` > 0 the driver holds out that many phantoms, reports
+magnitude PSNR of the trained DEQ reconstruction vs the zero-filled
+adjoint baseline on them, sweeps an iteration-budget curve, and (with
+``--save``) ships the weights + scores to ``models/<save>`` for the
+regression floor in tests/test_mri_operating_point.py.
 
 Usage: python scripts/mri_deq_train.py [--datapath DIR] [--steps N]
+           [--eval_n 8] [--save mri_deq_demo]
 """
 
 import argparse
@@ -46,6 +54,17 @@ def main():
     ap.add_argument("--center_frac", type=float, default=0.04)
     ap.add_argument("--noise_sigma", type=float, default=0.01)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--train_n", type=int, default=32,
+                    help="synthetic training phantoms")
+    ap.add_argument("--eval_n", type=int, default=0,
+                    help="held-out phantoms (disjoint seed); >0 records "
+                    "PSNR vs the zero-filled baseline + a budget curve")
+    ap.add_argument("--save", default="",
+                    help="ship weights + scores to models/<save>")
+    ap.add_argument("--load", default="",
+                    help="eval-only: restore a shipped checkpoint, skip "
+                    "training, and print a JSON score line (the "
+                    "regression-test entry point)")
     args = ap.parse_args()
 
     import jax
@@ -61,9 +80,10 @@ def main():
         ds = FastMRIDataset(args.datapath, crop=args.size)
         data = np.stack([ds[i] for i in range(min(len(ds), 64))])
     else:
-        print("no FastMRI data; using synthetic phantoms (smoke mode)",
-              flush=True)
-        data = synthetic_phantoms(32, args.size)
+        print("no FastMRI data; using synthetic phantoms", flush=True)
+        data = synthetic_phantoms(args.train_n, args.size)
+    eval_data = synthetic_phantoms(args.eval_n, args.size, seed=1000) \
+        if args.eval_n else None
 
     mask = create_mask((args.size, args.size), args.center_frac, args.accel)
     op = cartesian_single_coil_mri(mask, h=args.size, w=args.size)
@@ -77,6 +97,13 @@ def main():
     deq = make_deq(step, m=5, lam=1e-4, max_iter=40, tol=1e-4)
 
     params = {"eta": jnp.float32(0.4), "net": variables}
+
+    if args.load:
+        import orbax.checkpoint as ocp
+        snap = ocp.StandardCheckpointer().restore(
+            os.path.abspath(args.load))
+        params = jax.tree.map(jnp.asarray, snap["params"])
+        args.steps = 0
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
 
@@ -101,10 +128,61 @@ def main():
         key, sub = jax.random.split(key)
         params, opt_state, loss = train_step(
             params, opt_state, jnp.asarray(data[idx]), sub)
-        if it % 5 == 0:
+        if it % max(args.steps // 20, 5) == 0:
             print(f"step {it} loss {float(loss):.6f} "
                   f"eta {float(params['eta']):.4f}", flush=True)
-    print("done", flush=True)
+    print("training done", flush=True)
+
+    if eval_data is None:
+        return
+
+    # held-out eval protocol (mirrors the reference driver's test pass
+    # shape, scripts/fixedpoint/mri_prox_fixedeta_pre_and.py:100-161):
+    # fixed measurement noise seed, magnitude PSNR, zero-fill baseline.
+    def mag(x):
+        return jnp.sqrt(x[..., 0] ** 2 + x[..., 1] ** 2)
+
+    def psnr_mag(rec, gt):
+        err = jnp.mean((mag(rec) - mag(gt)) ** 2, axis=(1, 2))
+        return -10.0 * jnp.log10(jnp.maximum(err, 1e-12))
+
+    xe = jnp.asarray(eval_data)
+    ye = op.forward(xe)
+    ye = ye + args.noise_sigma * jax.random.normal(jax.random.key(7),
+                                                   ye.shape)
+    z0 = op.adjoint(ye)
+    base_psnr = float(jnp.mean(psnr_mag(z0, xe)))
+
+    scores = {}
+    for budget in (10, 20, 40, 80):
+        deq_b = make_deq(step, m=5, lam=1e-4, max_iter=budget, tol=1e-4)
+        rec = jax.jit(lambda p, z, y: deq_b(p, z, y))(params, z0, ye)
+        scores[budget] = float(jnp.mean(psnr_mag(rec, xe)))
+    print(f"zero-filled baseline: {base_psnr:.2f} dB", flush=True)
+    for budget, s in scores.items():
+        print(f"DEQ recon @{budget} iters: {s:.2f} dB "
+              f"(+{s - base_psnr:.2f} over zero-fill)", flush=True)
+    import json
+    print(json.dumps({"baseline_psnr": base_psnr,
+                      "psnr": {str(k): v for k, v in scores.items()}}),
+          flush=True)
+
+    if args.save:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        from deqsci_tpu.io.checkpoint import CheckpointManager
+        import shutil
+        out_dir = os.path.join(repo, "models", args.save)
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        CheckpointManager(os.path.join(repo, "models")).save(
+            args.save,
+            {"params": jax.tree.map(np.asarray, params),
+             "meta": {"size": args.size, "accel": args.accel,
+                      "center_frac": args.center_frac,
+                      "noise_sigma": args.noise_sigma,
+                      "baseline_psnr": base_psnr,
+                      "psnr": {str(k): v for k, v in scores.items()}}})
+        print(f"saved models/{args.save}", flush=True)
 
 
 if __name__ == "__main__":

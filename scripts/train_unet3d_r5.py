@@ -1,0 +1,188 @@
+"""Train the first 3-D (Unet3D) SCI operating point (VERDICT r4 #3).
+
+The reference treats ``Unet3D`` / the ``3d_denoiser`` tag as live CLI
+options (networks/normalized_equilibrium_u_net_yaping.py:273-402, tag
+dispatch solvers/equilibrium_solvers_yaping.py:402-425) but ships no 3-D
+weights; until round 5 the rebuild's 3-D path was tested with random
+weights only. This driver produces a trained DE-GAP-Unet3D model so the
+frame-axis sharding story (the repo's sequence-parallel analog) runs on
+weights somebody actually trained:
+
+1. **Denoiser pretraining** (the upstream two-stage recipe,
+   scripts/denoising/* pattern): random 64x64x8 crops of the training
+   corpus, residual noise target, sigma sampled per example with
+   small-sigma emphasis (the round-2 finding: the GAP schedule spends
+   most iterations at tiny sigma, where a uniformly-pretrained denoiser
+   is not contractive).
+2. **Equilibrium finetune through the DEQ** via the standard CLI
+   (--denoiser unet3d_noise), horizon curriculum legs (the round-2 ADMM
+   recipe), truncated-Neumann backward, outlier-skip + grad-clip guards.
+
+Ships models/<out> from the final-horizon leg's best checkpoint.
+
+Usage: python scripts/train_unet3d_r5.py --trainpath data/sci_train_r3
+"""
+
+import argparse
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_gt_clips(gt_dir, limit):
+    from deqsci_tpu.data.sci_mat import load_mat
+    names = sorted(os.listdir(gt_dir))[:limit]
+    out = []
+    for n in names:
+        arr = load_mat(os.path.join(gt_dir, n), "gt")  # (H, W, 8) in [0,1]
+        out.append(np.asarray(arr, np.float32))
+    return out
+
+
+def pretrain(clips, steps, batch, crop, seed=0):
+    """Stage 1: residual video-denoiser pretraining of the zoo's
+    unet3d_noise module (UNet chans=32 pools=4 conv3d)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from deqsci_tpu.zoo import build_denoiser
+
+    spec = build_denoiser("unet3d_noise")
+    variables = spec.init_variables(h=crop, w=crop)
+    apply_fn = spec.apply_fn()
+
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(variables)
+
+    @jax.jit
+    def step_fn(params, opt_state, x, eps, sigma):
+        # x: (b, 8, crop, crop, 1) volume; per-sample sigma
+        def loss_fn(p):
+            noise = sigma[:, None, None, None, None] * eps
+            out = apply_fn(p, x + noise)
+            return jnp.mean((out - noise) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    for it in range(steps):
+        xs = []
+        for _ in range(batch):
+            clip = clips[rng.integers(len(clips))]
+            cy = rng.integers(0, clip.shape[0] - crop + 1)
+            cx = rng.integers(0, clip.shape[1] - crop + 1)
+            xs.append(clip[cy:cy + crop, cx:cx + crop].transpose(2, 0, 1))
+        x = jnp.asarray(np.stack(xs)[..., None])
+        eps = jnp.asarray(rng.standard_normal(x.shape, np.float32))
+        # small-sigma emphasis: half the draws in [0, 10]/255
+        hi = rng.uniform(0, 55, batch)
+        lo = rng.uniform(0, 10, batch)
+        pick = rng.random(batch) < 0.5
+        sigma = jnp.asarray(np.where(pick, lo, hi).astype(np.float32) / 255.)
+        variables, opt_state, loss = step_fn(variables, opt_state, x, eps,
+                                             sigma)
+        if it % max(steps // 20, 10) == 0:
+            print(f"pretrain step {it} loss {float(loss):.6f}", flush=True)
+    return variables
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trainpath", default="data/sci_train_r3")
+    ap.add_argument("--pre_steps", type=int, default=2000)
+    ap.add_argument("--pre_batch", type=int, default=8)
+    ap.add_argument("--crop", type=int, default=64)
+    ap.add_argument("--clips", type=int, default=400)
+    ap.add_argument("--legs", default="20:1:1e-4,40:1:7e-5,60:2:5e-5",
+                    help="maxiter:epochs:lr DEQ-finetune legs")
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--out", default="unet3d_r5")
+    ap.add_argument("--skip_pretrain", default="",
+                    help="path to an existing pretrain checkpoint")
+    args = ap.parse_args()
+
+    import jax
+    from deqsci_tpu.cli import video_sci
+    from deqsci_tpu.io.checkpoint import CheckpointManager
+
+    pre_dir = os.path.join(REPO, "save", "unet3d_pre")
+    if args.skip_pretrain:
+        pre_dir = os.path.join(REPO, args.skip_pretrain)
+    elif not os.path.isdir(os.path.join(pre_dir, "pre")):
+        clips = load_gt_clips(os.path.join(REPO, args.trainpath, "gt"),
+                              args.clips)
+        print(f"loaded {len(clips)} clips for pretraining", flush=True)
+        variables = pretrain(clips, args.pre_steps, args.pre_batch,
+                             args.crop)
+        CheckpointManager(pre_dir).save(
+            "pre", {"params": jax.tree.map(np.asarray, variables),
+                    "epoch": -1})
+        print("saved pretrain checkpoint", flush=True)
+
+    import orbax.checkpoint as ocp
+
+    def snap_epoch(path):
+        try:
+            return int(ocp.StandardCheckpointer().restore(
+                os.path.abspath(path)).get("epoch", -1))
+        except Exception:
+            return -1
+
+    load = os.path.join(pre_dir, "pre")
+    final_best, final_ckpt, final_iter = -1e9, None, 0
+    for li, spec in enumerate(args.legs.split(",")):
+        maxiter, eps, lr = spec.split(":")
+        save = os.path.join(REPO, f"save/unet3d_leg{li}_it{maxiter}")
+        # --n_epochs is absolute (the CLI resumes at ckpt epoch + 1)
+        n_epochs = snap_epoch(load) + 1 + int(eps)
+        argv = ["--denoiser", "unet3d_noise",
+                "--backward", "neumann", "--neumann_k", "20",
+                "--grad_clip", "0.5",
+                "--skip_loss_threshold", "0.05",
+                "--shuffle_seed", str(li),
+                "--loadpath", load,
+                "--trainpath", os.path.join(REPO, args.trainpath),
+                "--testpath", "/root/reference/data/test_gray/",
+                "--savepath", save,
+                "--and_maxiters", maxiter,
+                "--n_epochs", str(n_epochs),
+                "--batch_size", str(args.batch_size),
+                "--lr", lr, "--sched_step", "1000000",
+                "--save_every_n_steps", "100",
+                "--print_every_n_steps", "25"]
+        print(f"=== unet3d leg {li}: maxiter={maxiter} epochs={eps} "
+              f"lr={lr} ===", flush=True)
+        out = video_sci.main(argv)
+        leg_best = float(out.get("best_psnr", -1e9))
+        print(f"unet3d leg {li} best eval (at {maxiter} iters): "
+              f"{leg_best:.2f} dB", flush=True)
+        cand = os.path.join(save, "model", "best")
+        if os.path.isdir(cand):
+            load = cand
+            final_best, final_ckpt, final_iter = leg_best, cand, int(maxiter)
+
+    if final_ckpt is None:
+        print("no leg produced a best checkpoint; nothing shipped",
+              flush=True)
+        return
+    snap = ocp.StandardCheckpointer().restore(os.path.abspath(final_ckpt))
+    out_dir = os.path.join(REPO, "models", args.out)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    CheckpointManager(os.path.join(REPO, "models")).save(
+        args.out, {"params": snap["params"],
+                   "epoch": int(snap.get("epoch", 0))})
+    print(f"saved models/{args.out} ({final_best:.2f} dB at "
+          f"{final_iter} iterations)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,3 +38,49 @@ def test_unet3d_frame_sharded_matches(rng):
 
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.slow
+@needs_8
+def test_unet3d_frame_sharded_trained_weights(rng):
+    """Same GSPMD halo-exchange equivalence, but through the FULL DEQ
+    reconstruction on the TRAINED 3-D operating point (models/unet3d_r5,
+    VERDICT r4 #3) — system-level, not unit-level: the whole
+    Anderson-accelerated GAP solve runs with the frame axis sharded."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    from deqsci_tpu.maps.gap_sci import make_gap_sci_step
+    from deqsci_tpu.recon import make_reconstructor
+    from deqsci_tpu.zoo import build_denoiser
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt = os.path.join(repo, "models", "unet3d_r5")
+    if not os.path.isdir(ckpt):
+        pytest.skip("models/unet3d_r5 not shipped")
+    v = jax.tree.map(jnp.asarray,
+                     ocp.StandardCheckpointer().restore(
+                         os.path.abspath(ckpt))["params"])
+    spec = build_denoiser("unet3d_noise")
+    step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag)
+    recon = make_reconstructor(step, m=5, lam=1e-2, beta=1.0,
+                               max_iter=8, tol=1e-5)
+
+    h = w = 64
+    gt = rng.random((2, h, w, 8)).astype(np.float32)
+    Phi = (rng.random((2, h, w, 8)) > 0.5).astype(np.float32)
+    y = np.sum(gt * Phi, axis=-1)
+
+    want = np.asarray(recon.multi(v, jnp.asarray(y), jnp.asarray(Phi)))
+
+    mesh = make_mesh(n_data=2, n_frame=4)
+    with mesh:
+        ys = jax.device_put(jnp.asarray(y),
+                            NamedSharding(mesh, P("data", None, None)))
+        Ps = jax.device_put(jnp.asarray(Phi),
+                            NamedSharding(mesh, P("data", None, None,
+                                                  "frame")))
+        got = np.asarray(recon.multi(jax.device_put(v, replicated(mesh)),
+                                     ys, Ps))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
