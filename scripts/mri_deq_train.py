@@ -65,9 +65,21 @@ def main():
                     help="eval-only: restore a shipped checkpoint, skip "
                     "training, and print a JSON score line (the "
                     "regression-test entry point)")
+    ap.add_argument("--init_from", default="",
+                    help="warm-start training from a shipped checkpoint "
+                    "(unlike --load, training still runs)")
+    ap.add_argument("--maxiter_mix", default="",
+                    help="comma list of training horizons sampled per "
+                    "step (mixed-horizon curriculum — flattens the "
+                    "decay past a single trained horizon)")
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="force the CPU backend (the 64x64 problem is "
+                    "small; lets the chip keep a concurrent walk)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
     from deqsci_tpu.fp.deq import make_deq
@@ -98,35 +110,48 @@ def main():
 
     params = {"eta": jnp.float32(0.4), "net": variables}
 
-    if args.load:
+    if args.load or args.init_from:
         import orbax.checkpoint as ocp
         snap = ocp.StandardCheckpointer().restore(
-            os.path.abspath(args.load))
+            os.path.abspath(args.load or args.init_from))
         params = jax.tree.map(jnp.asarray, snap["params"])
-        args.steps = 0
+        if args.load:
+            args.steps = 0
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, x, key):
-        y = op.forward(x)
-        y = y + args.noise_sigma * jax.random.normal(key, y.shape)
+    def make_step(deq_h):
+        @jax.jit
+        def train_step(params, opt_state, x, key):
+            y = op.forward(x)
+            y = y + args.noise_sigma * jax.random.normal(key, y.shape)
 
-        def loss_fn(p):
-            z0 = jax.lax.stop_gradient(op.adjoint(y))
-            rec = deq(p, z0, y)
-            return jnp.mean((rec - x) ** 2)
+            def loss_fn(p):
+                z0 = jax.lax.stop_gradient(op.adjoint(y))
+                rec = deq_h(p, z0, y)
+                return jnp.mean((rec - x) ** 2)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+        return train_step
+
+    if args.maxiter_mix:
+        horizons = sorted({int(v) for v in args.maxiter_mix.split(",")})
+        steps_by_h = {h: make_step(
+            make_deq(step, m=5, lam=1e-4, max_iter=h, tol=1e-4))
+            for h in horizons}
+        print(f"mixed-horizon training over {horizons}", flush=True)
+    else:
+        horizons, steps_by_h = [40], {40: make_step(deq)}
 
     key = jax.random.key(1)
     rng = np.random.default_rng(0)
     for it in range(args.steps):
         idx = rng.choice(len(data), args.batch, replace=False)
         key, sub = jax.random.split(key)
-        params, opt_state, loss = train_step(
+        h = horizons[int(rng.integers(len(horizons)))]
+        params, opt_state, loss = steps_by_h[h](
             params, opt_state, jnp.asarray(data[idx]), sub)
         if it % max(args.steps // 20, 5) == 0:
             print(f"step {it} loss {float(loss):.6f} "

@@ -50,7 +50,7 @@ echo "conv3d probe rc=$CONV3D_RC"
 # 4 legs; a 3-epoch Neumann->exact-IFT walk is a LOWER BOUND on the
 # clean-corpus score, recorded as such in PARITY.md)
 if [ "$(left)" -gt 9000 ] && [ -d data/sci_train_clean ]; then
-  timeout $(( $(left) - 6600 )) python -u scripts/ffdnet_r3_polish.py \
+  timeout $(( $(left) - 7800 )) python -u scripts/ffdnet_r3_polish.py \
     --init /root/reference/networks/ffdnet/models/net_gray.pth \
     --legs "neumann:2e-5:2,solver:1e-5:1" \
     --trainpath data/sci_train_clean --ema_decay 0.998 \
@@ -58,12 +58,13 @@ if [ "$(left)" -gt 9000 ] && [ -d data/sci_train_clean ]; then
     > /tmp/ffd_clean.log 2>&1
 fi
 
-# 2. ADMM mixed-horizon (~1.6h)
-if [ "$(left)" -gt 5400 ]; then
-  timeout $(( $(left) - 3000 )) python -u scripts/extend_admm_r3.py \
+# 2. ADMM mixed-horizon (~1h: one epoch — the distribution move is small,
+# and the consolidation must land inside the slot)
+if [ "$(left)" -gt 4800 ]; then
+  timeout $(( $(left) - 3600 )) python -u scripts/extend_admm_r3.py \
     --init models/admm_ffdnet_r4 --denoiser ffdnet --sigma_dual 1.0 \
     --backward neumann --lr 1.5e-5 --ema_decay 0.998 \
-    --legs 180:2 --maxiter_mix 120,180,260 \
+    --legs 180:1 --maxiter_mix 120,180,260 \
     --trainpath data/sci_train_r3e --seed_base 400 \
     --floor 31.0 --out admm_ffdnet_r5 \
     > /tmp/admm_mix.log 2>&1
