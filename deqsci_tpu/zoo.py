@@ -50,6 +50,17 @@ class DenoiserSpec:
         return self.module.init(rng_key, x)
 
 
+def infer_unet_spec(variables) -> dict:
+    """(chans, num_pool_layers) recorded in a loaded UNet variables tree:
+    chans = down0's output dim, pools = number of down{i} blocks. Lets
+    checkpoint consumers (dryrun, dist tests, eval drivers) rebuild the
+    module at the size the weights were trained at."""
+    p = variables.get("params", variables)
+    chans = int(p["down0"]["conv0"]["kernel"].shape[-1])
+    pools = len([k for k in p if k.startswith("down")])
+    return {"chans": chans, "num_pool_layers": pools}
+
+
 def infer_denoiser_feats(variables) -> int:
     """Hidden width recorded in a loaded variables tree (conv0's output
     dim), or 0 if the tree has no conv0. Lets checkpoint loaders rebuild
@@ -91,6 +102,14 @@ def build_denoiser(name: str, n_channels: int = 1,
     if name == "unet3d_noise":
         return DenoiserSpec(UNet(out_chans=n_channels, chans=32,
                                  num_pool_layers=4, conv3d=True),
+                            tag="3d_denoiser", conv3d=True)
+    if name == "unet3d_noise_small":
+        # capacity-reduced 3-D variant ("small Unet3D"): same architecture
+        # family, sized so the first trained 3-D operating point is
+        # practical — the axon runtime hangs compiling the full-size
+        # conv3d UNet (round-5 probe), so this trains on the CPU backend
+        return DenoiserSpec(UNet(out_chans=n_channels, chans=16,
+                                 num_pool_layers=2, conv3d=True),
                             tag="3d_denoiser", conv3d=True)
     if name == "unetnorm_noise":
         return DenoiserSpec(UNet(out_chans=n_channels, chans=32,

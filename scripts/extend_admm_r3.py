@@ -62,6 +62,10 @@ def main():
                     help="comma list of training horizons sampled per "
                          "batch (VERDICT r4 #5 mixed-horizon curriculum); "
                          "each leg still evals at its own maxiter")
+    ap.add_argument("--tag", default="",
+                    help="savepath disambiguator (supervised restarts "
+                         "must not clobber a previous attempt's best "
+                         "checkpoint)")
     ap.add_argument("--floor", type=float, default=0.0,
                     help="only overwrite models/<out> if the final leg's "
                          "best eval (at the target horizon) beats this — "
@@ -77,7 +81,8 @@ def main():
     best_overall, best_ckpt = -1e9, load
     for li, spec in enumerate(args.legs.split(",")):
         maxiter, eps = (int(v) for v in spec.split(":"))
-        save = os.path.join(REPO, f"save/{args.out}_leg{li}_it{maxiter}")
+        save = os.path.join(REPO,
+                            f"save/{args.out}{args.tag}_leg{li}_it{maxiter}")
         n_epochs = snap_epoch(load) + 1 + eps
         argv = ["--sci_solver", "admm",
                 "--denoiser", args.denoiser,

@@ -45,15 +45,15 @@ def load_gt_clips(gt_dir, limit):
     return out
 
 
-def pretrain(clips, steps, batch, crop, seed=0):
-    """Stage 1: residual video-denoiser pretraining of the zoo's
-    unet3d_noise module (UNet chans=32 pools=4 conv3d)."""
+def pretrain(clips, steps, batch, crop, seed=0, denoiser="unet3d_noise"):
+    """Stage 1: residual video-denoiser pretraining of the zoo's conv3d
+    module (unet3d_noise, or the capacity-reduced unet3d_noise_small)."""
     import jax
     import jax.numpy as jnp
     import optax
     from deqsci_tpu.zoo import build_denoiser
 
-    spec = build_denoiser("unet3d_noise")
+    spec = build_denoiser(denoiser)
     variables = spec.init_variables(h=crop, w=crop)
     apply_fn = spec.apply_fn()
 
@@ -104,12 +104,22 @@ def main():
     ap.add_argument("--legs", default="20:1:1e-4,40:1:7e-5,60:2:5e-5",
                     help="maxiter:epochs:lr DEQ-finetune legs")
     ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--neumann_k", type=int, default=20)
+    ap.add_argument("--save_every", type=int, default=100)
     ap.add_argument("--out", default="unet3d_r5")
     ap.add_argument("--skip_pretrain", default="",
                     help="path to an existing pretrain checkpoint")
+    ap.add_argument("--denoiser", default="unet3d_noise",
+                    help="zoo name; 'unet3d_noise_small' for the "
+                    "capacity-reduced variant (the axon runtime hangs "
+                    "compiling full-size conv3d — round-5 probe)")
+    ap.add_argument("--cpu", type=int, default=0,
+                    help="force the CPU backend (conv3d hangs the chip)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from deqsci_tpu.cli import video_sci
     from deqsci_tpu.io.checkpoint import CheckpointManager
 
@@ -121,7 +131,7 @@ def main():
                               args.clips)
         print(f"loaded {len(clips)} clips for pretraining", flush=True)
         variables = pretrain(clips, args.pre_steps, args.pre_batch,
-                             args.crop)
+                             args.crop, denoiser=args.denoiser)
         CheckpointManager(pre_dir).save(
             "pre", {"params": jax.tree.map(np.asarray, variables),
                     "epoch": -1})
@@ -143,8 +153,9 @@ def main():
         save = os.path.join(REPO, f"save/unet3d_leg{li}_it{maxiter}")
         # --n_epochs is absolute (the CLI resumes at ckpt epoch + 1)
         n_epochs = snap_epoch(load) + 1 + int(eps)
-        argv = ["--denoiser", "unet3d_noise",
-                "--backward", "neumann", "--neumann_k", "20",
+        argv = ["--denoiser", args.denoiser,
+                "--backward", "neumann", "--neumann_k",
+                str(args.neumann_k),
                 "--grad_clip", "0.5",
                 "--skip_loss_threshold", "0.05",
                 "--shuffle_seed", str(li),
@@ -156,7 +167,7 @@ def main():
                 "--n_epochs", str(n_epochs),
                 "--batch_size", str(args.batch_size),
                 "--lr", lr, "--sched_step", "1000000",
-                "--save_every_n_steps", "100",
+                "--save_every_n_steps", str(args.save_every),
                 "--print_every_n_steps", "25"]
         print(f"=== unet3d leg {li}: maxiter={maxiter} epochs={eps} "
               f"lr={lr} ===", flush=True)

@@ -53,7 +53,7 @@ def test_unet3d_frame_sharded_trained_weights(rng):
 
     from deqsci_tpu.maps.gap_sci import make_gap_sci_step
     from deqsci_tpu.recon import make_reconstructor
-    from deqsci_tpu.zoo import build_denoiser
+    from deqsci_tpu.zoo import infer_unet_spec
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     ckpt = os.path.join(repo, "models", "unet3d_r5")
@@ -62,8 +62,9 @@ def test_unet3d_frame_sharded_trained_weights(rng):
     v = jax.tree.map(jnp.asarray,
                      ocp.StandardCheckpointer().restore(
                          os.path.abspath(ckpt))["params"])
-    spec = build_denoiser("unet3d_noise")
-    step = make_gap_sci_step(spec.apply_fn(), tag=spec.tag)
+    net = UNet(out_chans=1, conv3d=True, **infer_unet_spec(v))
+    step = make_gap_sci_step(lambda p, x: net.apply(p, x),
+                             tag="3d_denoiser")
     recon = make_reconstructor(step, m=5, lam=1e-2, beta=1.0,
                                max_iter=8, tol=1e-5)
 
