@@ -147,6 +147,12 @@ def main():
             return -1
 
     load = os.path.join(pre_dir, "pre")
+    if args.legs == "none":
+        # pretrain-only mode: bank the denoiser checkpoint so the DEQ
+        # legs can run later (possibly on a different backend) via
+        # --skip_pretrain save/unet3d_pre.
+        print("legs=none: pretrain checkpoint banked, exiting", flush=True)
+        return
     final_best, final_ckpt, final_iter = -1e9, None, 0
     for li, spec in enumerate(args.legs.split(",")):
         maxiter, eps, lr = spec.split(":")
