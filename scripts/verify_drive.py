@@ -8,6 +8,11 @@ backward) must be finite. Exists so the post-outage chip queue
 (scripts/tpu_queue_r5c.sh) can re-certify the tunnel + compute path
 before burning hours on training stages.
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
