@@ -33,6 +33,11 @@ def main():
     ap.add_argument("--sigma_dual", type=float, default=0.0,
                     help="ADMM+ffdnet dual-RMS sigma floor coefficient; "
                          "must match what the model was trained with")
+    ap.add_argument("--sigma_min", type=float, default=0.0,
+                    help="freeze the sigma schedule at this floor past "
+                         "the point where sigma0*decay^k falls below it "
+                         "(bit-identical below; autonomous map past it — "
+                         "the DEQ-native fix for past-horizon tail decay)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -63,6 +68,8 @@ def main():
         from deqsci_tpu.ops.sensing import initial_point_admm
         sigma_kw = ({"sigma_dual_coef": args.sigma_dual}
                     if args.sigma_dual else {})
+        if args.sigma_min:
+            sigma_kw["sigma_min"] = args.sigma_min
         step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag, **sigma_kw)
         recon = make_reconstructor(step, init_fn=initial_point_admm,
                                    output_fn=lambda c: c[0], **solver_kw)

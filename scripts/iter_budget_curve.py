@@ -36,6 +36,14 @@ def main():
     ap.add_argument("--sigma_dual", type=float, default=0.0,
                     help="ADMM sigma floor = coef*RMS(dual); must match "
                          "the coef the model was trained with")
+    ap.add_argument("--sigma_min", type=float, default=0.0,
+                    help="freeze the sigma schedule at this floor: with "
+                         "sigma_min = sigma0*decay^K the map is bit-"
+                         "identical for k<=K and AUTONOMOUS past it — the "
+                         "DEQ-native tail fix (the unfloored schedule "
+                         "decays sigma to ~0 past the training horizon, "
+                         "so the prox strength vanishes and iterates "
+                         "drift)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -64,6 +72,8 @@ def main():
         from deqsci_tpu.ops.sensing import initial_point_admm
         sigma_kw = ({"sigma_dual_coef": args.sigma_dual}
                     if args.sigma_dual else {})
+        if args.sigma_min:
+            sigma_kw["sigma_min"] = args.sigma_min
         step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag, **sigma_kw)
         recon_kw = dict(init_fn=initial_point_admm,
                         output_fn=lambda c: c[0])
