@@ -214,3 +214,49 @@ def test_sn_normalize_params_reduces_spectral_norm(rng):
     for name in targets:
         _, sigma = conv_power_step(normed[name]["kernel"], state2[name])
         np.testing.assert_allclose(float(sigma), 1.0, rtol=5e-2)
+
+
+def test_admm_sci_horizon_freeze_composition(rng):
+    """The past-horizon tail fix (round 5): sigma_min = sigma0*decay^K
+    freezes the schedule at its iteration-K value, so (a) every call with
+    k <= K sees the UNCHANGED schedule value (bit-identical iterates below
+    the freeze point — the curve knee cannot move), (b) calls past K see
+    the constant sigma_K (the map becomes autonomous), and (c) the
+    dual-RMS floor still composes on top: sigma = max(frozen_sched,
+    coef*RMS(u))."""
+    h = w = 16
+    t = 8
+    Phi = jnp.asarray((rng.random((1, h, w, t)) > 0.5).astype(np.float32))
+    gt = jnp.asarray(rng.random((1, h, w, t)).astype(np.float32))
+    y = A(gt, Phi)
+    ps = phi_sum(Phi)
+    carry = initial_point_admm(y, Phi)
+
+    seen = []
+
+    def spy(params, x, sigma):
+        seen.append(np.asarray(sigma))
+        return jnp.zeros_like(x)
+
+    K = 180
+    s0, dec = 60.0 / 255.0, 0.971
+    smin = s0 * dec ** K
+    frozen = make_admm_sci_step(spy, tag="ffdnet", sigma_min=smin)
+    plain = make_admm_sci_step(spy, tag="ffdnet")
+
+    for k in (0, 50, 179):  # (a) below the freeze point: identical
+        frozen({}, carry, jnp.int32(k), (y, Phi, ps))
+        ref = seen[-1]
+        plain({}, carry, jnp.int32(k), (y, Phi, ps))
+        np.testing.assert_array_equal(ref, seen[-1])
+
+    frozen({}, carry, jnp.int32(260), (y, Phi, ps))  # (b) frozen past K
+    np.testing.assert_allclose(seen[-1], smin, rtol=1e-6)
+
+    # (c) composes with the dual floor: big dual still dominates
+    both = make_admm_sci_step(spy, tag="ffdnet", sigma_min=smin,
+                              sigma_dual_coef=1.0)
+    z0, _ = carry
+    u_big = jnp.full_like(z0, 0.25)
+    both({}, (z0, u_big), jnp.int32(260), (y, Phi, ps))
+    np.testing.assert_allclose(seen[-1], 0.25, rtol=1e-4)
