@@ -48,6 +48,16 @@ class AdmmSCI:
     sigma_decay: float = 0.971
     sigma_min: Optional[float] = None
     sigma_dual_coef: Optional[float] = None
+    # Cap on the DUAL-FLOOR term coef*RMS(u) (round-5 tail finding): the
+    # Anderson-path dual trace shows RMS(u) grows monotonically along the
+    # solve (drop8: 0.080 @k=100 -> 0.115 @180 -> 0.147 @260), so past
+    # the knee sigma_eff == RMS(u) keeps climbing and over-smooths the
+    # iterates (drop8 decays most — the saturated-file signature).
+    # Capping the dual term at its knee-region value pins the late-
+    # iteration denoiser strength without touching the decaying base
+    # schedule (the early-iteration curriculum), so iterates where the
+    # schedule or an un-capped-size dual dominates are bit-identical.
+    sigma_max: Optional[float] = None
 
     def __post_init__(self):
         if self.tag not in ALL_TAGS:
@@ -80,8 +90,14 @@ class AdmmSCI:
                     u.astype(jnp.float32) ** 2, axis=(1, 2, 3))
                 ).astype(x.dtype)  # (b,)
                 per_frame = jnp.repeat(dual_rms, xb.shape[0] // u.shape[0])
-                sigma = jnp.maximum(sigma,
-                                    self.sigma_dual_coef * per_frame)
+                dual_term = self.sigma_dual_coef * per_frame
+                if self.sigma_max is not None:
+                    # Cap the DUAL-FLOOR term only: the decaying base
+                    # schedule (the early-iteration curriculum) is never
+                    # touched, so iterates where the schedule dominates
+                    # are bit-identical with or without the cap.
+                    dual_term = jnp.minimum(dual_term, self.sigma_max)
+                sigma = jnp.maximum(sigma, dual_term)
             return x - batch_to_frames(self.denoise(params, xb, sigma), b)
         if self.tag == "conv3d":
             return volume_to_frames(self.denoise(params, frames_to_volume(x)))

@@ -38,6 +38,13 @@ def main():
                          "the point where sigma0*decay^k falls below it "
                          "(bit-identical below; autonomous map past it — "
                          "the DEQ-native fix for past-horizon tail decay)")
+    ap.add_argument("--sigma_max", type=float, default=0.0,
+                    help="cap the effective sigma (applied after both "
+                         "floors): the round-5 dual-trace shows RMS(u) "
+                         "grows monotonically past the knee, so the "
+                         "dual-RMS sigma floor over-smooths late "
+                         "iterations; capping at the knee-region value "
+                         "stabilizes the tail")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -70,6 +77,8 @@ def main():
                     if args.sigma_dual else {})
         if args.sigma_min:
             sigma_kw["sigma_min"] = args.sigma_min
+        if args.sigma_max:
+            sigma_kw["sigma_max"] = args.sigma_max
         step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag, **sigma_kw)
         recon = make_reconstructor(step, init_fn=initial_point_admm,
                                    output_fn=lambda c: c[0], **solver_kw)

@@ -44,6 +44,13 @@ def main():
                          "decays sigma to ~0 past the training horizon, "
                          "so the prox strength vanishes and iterates "
                          "drift)")
+    ap.add_argument("--sigma_max", type=float, default=0.0,
+                    help="cap the effective sigma (applied after both "
+                         "floors): the round-5 dual-trace shows RMS(u) "
+                         "grows monotonically past the knee, so the "
+                         "dual-RMS sigma floor over-smooths late "
+                         "iterations; capping at the knee-region value "
+                         "stabilizes the tail")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -74,6 +81,8 @@ def main():
                     if args.sigma_dual else {})
         if args.sigma_min:
             sigma_kw["sigma_min"] = args.sigma_min
+        if args.sigma_max:
+            sigma_kw["sigma_max"] = args.sigma_max
         step = make_admm_sci_step(spec.apply_fn(), tag=spec.tag, **sigma_kw)
         recon_kw = dict(init_fn=initial_point_admm,
                         output_fn=lambda c: c[0])

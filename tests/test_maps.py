@@ -260,3 +260,47 @@ def test_admm_sci_horizon_freeze_composition(rng):
     u_big = jnp.full_like(z0, 0.25)
     both({}, (z0, u_big), jnp.int32(260), (y, Phi, ps))
     np.testing.assert_allclose(seen[-1], 0.25, rtol=1e-4)
+
+
+def test_admm_sci_sigma_cap(rng):
+    """sigma_max caps the EFFECTIVE sigma after both floors (round-5 tail
+    fix): the dual-trace diagnostic showed RMS(u) grows monotonically
+    along the solve, so sigma_eff = coef*RMS(u) over-smooths late
+    iterations; the cap pins the denoiser strength at the knee-region
+    value while leaving early iterations (RMS below the cap) untouched."""
+    h = w = 16
+    t = 8
+    Phi = jnp.asarray((rng.random((1, h, w, t)) > 0.5).astype(np.float32))
+    gt = jnp.asarray(rng.random((1, h, w, t)).astype(np.float32))
+    y = A(gt, Phi)
+    ps = phi_sum(Phi)
+    z0, _ = initial_point_admm(y, Phi)
+
+    seen = []
+
+    def spy(params, x, sigma):
+        seen.append(np.asarray(sigma))
+        return jnp.zeros_like(x)
+
+    cap = 0.08
+    step = make_admm_sci_step(spy, tag="ffdnet", sigma_dual_coef=1.0,
+                              sigma_max=cap)
+
+    # big dual (RMS 0.25 > cap): sigma pinned at the cap
+    step({}, (z0, jnp.full_like(z0, 0.25)), jnp.int32(200), (y, Phi, ps))
+    np.testing.assert_allclose(seen[-1], cap, rtol=1e-6)
+
+    # small dual (RMS 0.02 < cap), late k: dual floor passes through
+    step({}, (z0, jnp.full_like(z0, 0.02)), jnp.int32(200), (y, Phi, ps))
+    np.testing.assert_allclose(seen[-1], 0.02, rtol=1e-4)
+
+    # early k: schedule dominates and sits below the cap -> untouched
+    step({}, (z0, jnp.full_like(z0, 1e-6)), jnp.int32(30), (y, Phi, ps))
+    np.testing.assert_allclose(seen[-1], 60.0 / 255.0 * 0.971 ** 30,
+                               rtol=1e-5)
+
+    # cap=None (default) keeps prior semantics exactly
+    seen.clear()
+    plain = make_admm_sci_step(spy, tag="ffdnet", sigma_dual_coef=1.0)
+    plain({}, (z0, jnp.full_like(z0, 0.25)), jnp.int32(200), (y, Phi, ps))
+    np.testing.assert_allclose(seen[-1], 0.25, rtol=1e-4)
